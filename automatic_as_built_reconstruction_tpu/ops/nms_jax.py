@@ -1,0 +1,102 @@
+"""On-device NMS — iterative mask formulation, jit/vmap friendly.
+
+Replaces the lineage's bitmask CUDA NMS [ref: second/core/
+non_max_suppression/nms_gpu.py — UNVERIFIED] with: top-k by score, one
+batched IoU matrix, then an O(K) greedy `fori_loop` over rows.  Static
+output: boolean keep mask (callers pad/slice).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import rotated_iou
+
+
+def _greedy_suppress(iou: jax.Array, valid: jax.Array,
+                     iou_threshold: float) -> jax.Array:
+    """Greedy NMS given a [K,K] IoU matrix of score-sorted boxes."""
+    k = iou.shape[0]
+    col = jnp.arange(k)
+
+    def body(i, keep):
+        alive = keep[i] & valid[i]
+        sup = alive & (iou[i] > iou_threshold) & (col > i)
+        return keep & ~sup
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pre_max_size", "post_max_size"))
+def rotate_nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
+               pre_max_size: int, post_max_size: int):
+    """Rotated NMS.
+
+    Args:
+        boxes: [N, 5] (x,y,w,l,yaw); invalid boxes must carry score -inf.
+        scores: [N].
+
+    Returns:
+        indices [post_max_size] into the input (-1 padding), and a
+        validity mask [post_max_size].
+    """
+    n = boxes.shape[0]
+    k = min(pre_max_size, n)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    valid = top_scores > -jnp.inf
+    iou = rotated_iou.rotate_iou_matrix(top_boxes, top_boxes)
+    keep = _greedy_suppress(iou, valid, iou_threshold)
+    # compact kept indices (score order) into post_max_size slots
+    kpos = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((post_max_size,), -1, jnp.int32)
+    out_idx = out_idx.at[jnp.where(keep & (kpos < post_max_size),
+                                   kpos, post_max_size)].set(
+        top_idx.astype(jnp.int32), mode="drop")
+    out_valid = out_idx >= 0
+    return out_idx, out_valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pre_max_size", "post_max_size"))
+def nearest_nms(boxes_bev: jax.Array, scores: jax.Array, iou_threshold: float,
+                pre_max_size: int, post_max_size: int):
+    """Axis-aligned NMS on yaw-snapped BEV boxes (the lineage's fast path).
+
+    boxes_bev: [N, 4] (x1, y1, x2, y2)."""
+    n = boxes_bev.shape[0]
+    k = min(pre_max_size, n)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    b = boxes_bev[top_idx]
+    valid = top_scores > -jnp.inf
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    iw = jnp.minimum(b[:, None, 2], b[None, :, 2]) - jnp.maximum(
+        b[:, None, 0], b[None, :, 0])
+    ih = jnp.minimum(b[:, None, 3], b[None, :, 3]) - jnp.maximum(
+        b[:, None, 1], b[None, :, 1])
+    inter = jnp.maximum(iw, 0) * jnp.maximum(ih, 0)
+    union = area[:, None] + area[None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+    keep = _greedy_suppress(iou, valid, iou_threshold)
+    kpos = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((post_max_size,), -1, jnp.int32)
+    out_idx = out_idx.at[jnp.where(keep & (kpos < post_max_size),
+                                   kpos, post_max_size)].set(
+        top_idx.astype(jnp.int32), mode="drop")
+    return out_idx, out_idx >= 0
+
+
+def rbbox_to_near_bbox(rbboxes: jax.Array) -> jax.Array:
+    """jnp twin of core.box_ops.rbbox2d_to_near_bbox."""
+    from . import box_jax
+    rots = rbboxes[..., -1]
+    rots_0_pi_div_2 = jnp.abs(box_jax.limit_period(rots, 0.5, jnp.pi))
+    cond = (rots_0_pi_div_2 > jnp.pi / 4)[..., None]
+    bboxes_center = jnp.where(
+        cond, rbboxes[..., jnp.array([0, 1, 3, 2])], rbboxes[..., :4])
+    centers = bboxes_center[..., :2]
+    dims = bboxes_center[..., 2:]
+    return jnp.concatenate([centers - dims / 2, centers + dims / 2], axis=-1)

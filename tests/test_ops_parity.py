@@ -1,0 +1,193 @@
+"""Parity: device ops (JAX) vs NumPy oracles in core/."""
+import numpy as np
+import pytest
+
+from automatic_as_built_reconstruction_tpu.core import (
+    box_ops, geometry, nms as nms_np, voxelize)
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from automatic_as_built_reconstruction_tpu.ops import (  # noqa: E402
+    box_jax, nms_jax, rotated_iou, voxelize_jax)
+
+
+def random_boxes(n, rng):
+    return np.stack([
+        rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+        rng.uniform(-2, 1, n), rng.uniform(0.5, 4.0, n),
+        rng.uniform(0.5, 6.0, n), rng.uniform(0.8, 3.0, n),
+        rng.uniform(-np.pi, np.pi, n)], axis=1).astype(np.float32)
+
+
+class TestBoxJaxParity:
+    @pytest.mark.parametrize("vec,smooth", [(False, False), (True, False),
+                                            (False, True), (True, True)])
+    def test_encode_decode(self, vec, smooth):
+        rng = np.random.default_rng(0)
+        boxes = random_boxes(128, rng)
+        anchors = random_boxes(128, rng)
+        enc_np = box_ops.second_box_encode(boxes, anchors, vec, smooth)
+        enc_j = np.asarray(box_jax.second_box_encode(
+            jnp.asarray(boxes), jnp.asarray(anchors), vec, smooth))
+        # XLA's fp32 exp/log differ from numpy by a few ULP
+        np.testing.assert_allclose(enc_j, enc_np, rtol=5e-4, atol=1e-4)
+        dec_np = box_ops.second_box_decode(enc_np, anchors, vec, smooth)
+        dec_j = np.asarray(box_jax.second_box_decode(
+            jnp.asarray(enc_np), jnp.asarray(anchors), vec, smooth))
+        # XLA's fp32 exp/log differ from numpy by a few ULP
+        np.testing.assert_allclose(dec_j, dec_np, rtol=5e-4, atol=1e-4)
+
+    def test_limit_period(self):
+        v = np.linspace(-10, 10, 100).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(box_jax.limit_period(jnp.asarray(v))),
+            box_ops.limit_period(v), atol=1e-6)
+
+    def test_corners2d(self):
+        rng = np.random.default_rng(1)
+        b = random_boxes(32, rng)
+        c_np = box_ops.center_to_corner_box2d(b[:, :2], b[:, 3:5], b[:, 6])
+        c_j = np.asarray(box_jax.center_to_corner_box2d(
+            jnp.asarray(b[:, :2]), jnp.asarray(b[:, 3:5]), jnp.asarray(b[:, 6])))
+        np.testing.assert_allclose(c_j, c_np, atol=1e-5)
+
+
+class TestVoxelizeParity:
+    @pytest.mark.parametrize("max_points,max_voxels", [(35, 4000), (5, 500),
+                                                       (3, 50)])
+    def test_fcfs_parity(self, max_points, max_voxels):
+        rng = np.random.default_rng(2)
+        pts = np.concatenate([
+            rng.uniform(-1, 71, (3000, 1)), rng.uniform(-41, 41, (3000, 1)),
+            rng.uniform(-3.5, 1.5, (3000, 1)), rng.random((3000, 1))],
+            axis=1).astype(np.float32)
+        vs, pr = (0.2, 0.2, 0.4), (0, -40, -3, 70.4, 40, 1)
+        gen = voxelize.VoxelGenerator(vs, pr, max_points, max_voxels)
+        v_np, c_np, n_np = gen.generate(pts)
+        res = voxelize_jax.voxelize(
+            jnp.asarray(pts), jnp.int32(len(pts)), voxel_size=vs, pc_range=pr,
+            grid_size=tuple(gen.grid_size), max_points=max_points,
+            max_voxels=max_voxels)
+        nv = int(res.num_voxels)
+        assert nv == len(v_np)
+        np.testing.assert_array_equal(np.asarray(res.coords)[:nv], c_np)
+        np.testing.assert_array_equal(np.asarray(res.num_points)[:nv], n_np)
+        np.testing.assert_array_equal(np.asarray(res.voxels)[:nv], v_np)
+        # padding region must be zero / -1
+        np.testing.assert_array_equal(np.asarray(res.coords)[nv:], -1)
+        np.testing.assert_array_equal(np.asarray(res.voxels)[nv:], 0)
+
+    def test_padded_input_ignored(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(1, 5, (100, 4)).astype(np.float32)
+        padded = np.concatenate([pts, np.full((28, 4), 777, np.float32)])
+        vs, pr = (0.5, 0.5, 0.5), (0, 0, 0, 8, 8, 8)
+        res_a = voxelize_jax.voxelize(
+            jnp.asarray(padded), jnp.int32(100), voxel_size=vs, pc_range=pr,
+            grid_size=(16, 16, 16), max_points=10, max_voxels=64)
+        res_b = voxelize_jax.voxelize(
+            jnp.asarray(pts), jnp.int32(100), voxel_size=vs, pc_range=pr,
+            grid_size=(16, 16, 16), max_points=10, max_voxels=64)
+        np.testing.assert_array_equal(np.asarray(res_a.voxels),
+                                      np.asarray(res_b.voxels))
+        assert int(res_a.num_voxels) == int(res_b.num_voxels)
+
+    def test_dynamic_voxelize_means(self):
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(0.1, 7.9, (500, 4)).astype(np.float32)
+        vs, pr = (1.0, 1.0, 1.0), (0, 0, 0, 8, 8, 8)
+        res = voxelize_jax.dynamic_voxelize(
+            jnp.asarray(pts), jnp.int32(500), voxel_size=vs, pc_range=pr,
+            grid_size=(8, 8, 8), max_voxels=600)
+        nv = int(res.num_voxels)
+        # oracle: group by cell, mean
+        cell = np.floor(pts[:, :3]).astype(int)
+        feats = np.asarray(res.features)
+        coords = np.asarray(res.coords)
+        for v in range(nv):
+            cz, cy, cx = coords[v]
+            mask = (cell[:, 0] == cx) & (cell[:, 1] == cy) & (cell[:, 2] == cz)
+            assert mask.sum() == int(res.num_points[v])
+            np.testing.assert_allclose(feats[v], pts[mask].mean(0), rtol=1e-5)
+        # per-point voxel index consistency
+        pv = np.asarray(res.point_voxel_idx)
+        assert (pv >= 0).all()
+        for i in range(0, 500, 50):
+            cz, cy, cx = coords[pv[i]]
+            assert (cell[i] == [cx, cy, cz]).all()
+
+
+class TestRotatedIouParity:
+    def test_vs_oracle(self):
+        rng = np.random.default_rng(5)
+        n, k = 24, 17
+        a = np.stack([rng.uniform(-5, 5, n), rng.uniform(-5, 5, n),
+                      rng.uniform(0.5, 4, n), rng.uniform(0.5, 4, n),
+                      rng.uniform(-np.pi, np.pi, n)], axis=1).astype(np.float32)
+        b = np.stack([rng.uniform(-5, 5, k), rng.uniform(-5, 5, k),
+                      rng.uniform(0.5, 4, k), rng.uniform(0.5, 4, k),
+                      rng.uniform(-np.pi, np.pi, k)], axis=1).astype(np.float32)
+        iou_j = np.asarray(rotated_iou.rotate_iou_matrix(
+            jnp.asarray(a), jnp.asarray(b)))
+        iou_np = geometry.rotate_iou_matrix(a.astype(np.float64),
+                                            b.astype(np.float64))
+        np.testing.assert_allclose(iou_j, iou_np, atol=2e-4)
+
+    def test_d3_vs_oracle(self):
+        rng = np.random.default_rng(6)
+        a = random_boxes(10, rng)
+        b = random_boxes(8, rng)
+        iou_j = np.asarray(rotated_iou.d3_iou_matrix(
+            jnp.asarray(a), jnp.asarray(b)))
+        iou_np = geometry.d3_box_overlap(a.astype(np.float64),
+                                         b.astype(np.float64))
+        np.testing.assert_allclose(iou_j, iou_np, atol=2e-4)
+
+    def test_identical_boxes(self):
+        b = jnp.asarray([[1.0, 2.0, 2.0, 4.0, 0.7]])
+        np.testing.assert_allclose(
+            np.asarray(rotated_iou.rotate_iou_matrix(b, b)), [[1.0]],
+            atol=1e-5)
+
+
+class TestNmsParity:
+    def test_rotate_nms_vs_oracle(self):
+        rng = np.random.default_rng(7)
+        n = 40
+        base = np.array([0.0, 0.0, 2.0, 4.0, 0.4])
+        boxes = (base[None] + np.concatenate([
+            rng.normal(0, 1.5, (n, 2)), rng.normal(0, 0.2, (n, 2)),
+            rng.normal(0, 0.2, (n, 1))], axis=1)).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep_np = nms_np.rotate_nms(boxes, scores, 0.3)
+        idx_j, valid_j = nms_jax.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+            pre_max_size=n, post_max_size=n)
+        keep_j = np.asarray(idx_j)[np.asarray(valid_j)]
+        np.testing.assert_array_equal(np.sort(keep_j), np.sort(keep_np))
+        # order should both be score-descending
+        np.testing.assert_array_equal(keep_j, keep_np)
+
+    def test_post_max_size(self):
+        rng = np.random.default_rng(8)
+        boxes = np.stack([rng.uniform(-50, 50, 64), rng.uniform(-50, 50, 64),
+                          np.full(64, 2.0), np.full(64, 4.0),
+                          np.zeros(64)], axis=1).astype(np.float32)
+        scores = rng.uniform(0, 1, 64).astype(np.float32)
+        idx, valid = nms_jax.rotate_nms(jnp.asarray(boxes),
+                                        jnp.asarray(scores), 0.3,
+                                        pre_max_size=64, post_max_size=5)
+        assert idx.shape == (5,)
+        assert int(valid.sum()) == 5  # spread-out boxes: nothing suppressed
+
+    def test_neg_inf_scores_excluded(self):
+        boxes = np.zeros((8, 5), np.float32)
+        boxes[:, 2:4] = 1.0
+        scores = np.full(8, -np.inf, np.float32)
+        scores[3] = 0.5
+        idx, valid = nms_jax.rotate_nms(jnp.asarray(boxes),
+                                        jnp.asarray(scores), 0.5,
+                                        pre_max_size=8, post_max_size=8)
+        kept = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(kept, [3])
