@@ -1,0 +1,98 @@
+"""Dense BEV backbone (RPN) + detection heads.
+
+NHWC layout (TPU-native), flax convs.  Structure mirrors the lineage RPNV2:
+N downsampling blocks (stride-s conv + k stride-1 convs, BN+ReLU each),
+each block upsampled back by transposed conv to a common stride and
+concatenated, then 1x1 heads for class / box / direction.
+
+[ref: second/pytorch/models/rpn.py — lineage-expected, UNVERIFIED]
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    filters: int
+    layers: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(x)
+        x = nn.relu(x)
+        for _ in range(self.layers):
+            x = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3)(x)
+            x = nn.relu(x)
+        return x
+
+
+class Upsample(nn.Module):
+    filters: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        s = self.stride
+        if s >= 1:
+            x = nn.ConvTranspose(self.filters, (s, s), strides=(s, s),
+                                 use_bias=False)(x)
+        else:
+            # fractional "upsample" = downsample conv (lineage supports
+            # upsample_strides < 1 expressed as 1/int)
+            inv = int(round(1 / s))
+            x = nn.Conv(self.filters, (inv, inv), strides=(inv, inv),
+                        use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(x)
+        return nn.relu(x)
+
+
+class RPN(nn.Module):
+    """Multi-scale BEV backbone with per-location anchor heads."""
+
+    layer_nums: Sequence[int] = (3, 5, 5)
+    layer_strides: Sequence[int] = (2, 2, 2)
+    num_filters: Sequence[int] = (128, 128, 256)
+    upsample_strides: Sequence[float] = (1, 2, 4)
+    num_upsample_filters: Sequence[int] = (256, 256, 256)
+    num_anchor_per_loc: int = 2
+    num_class: int = 1
+    box_code_size: int = 7
+    use_direction_classifier: bool = True
+    num_direction_bins: int = 2
+    encode_background_as_zeros: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: [B, H, W, C] BEV features -> dict of prediction maps."""
+        ups = []
+        for i, (n, s, f) in enumerate(zip(self.layer_nums, self.layer_strides,
+                                          self.num_filters)):
+            x = ConvBlock(f, n, s)(x, train=train)
+            ups.append(Upsample(self.num_upsample_filters[i],
+                                self.upsample_strides[i])(x, train=train))
+        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+
+        if self.encode_background_as_zeros:
+            num_cls = self.num_anchor_per_loc * self.num_class
+        else:
+            num_cls = self.num_anchor_per_loc * (self.num_class + 1)
+        box_preds = nn.Conv(self.num_anchor_per_loc * self.box_code_size,
+                            (1, 1), name="conv_box")(x)
+        cls_preds = nn.Conv(num_cls, (1, 1), name="conv_cls")(x)
+        ret = {"box_preds": box_preds, "cls_preds": cls_preds}
+        if self.use_direction_classifier:
+            ret["dir_cls_preds"] = nn.Conv(
+                self.num_anchor_per_loc * self.num_direction_bins, (1, 1),
+                name="conv_dir_cls")(x)
+        return ret

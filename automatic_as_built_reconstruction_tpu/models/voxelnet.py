@@ -1,0 +1,301 @@
+"""VoxelNet — the single top-level model (three swappable stages).
+
+Functional split (TPU-idiomatic, unlike the reference's monolithic
+``nn.Module.forward`` [ref: second/pytorch/models/voxelnet.py —
+UNVERIFIED]):
+
+- :class:`VoxelNet` (flax): ``network_forward`` only — VFE -> middle -> RPN
+  -> prediction maps.  No loss / no NMS inside the module, so one set of
+  params serves jit-compiled train, eval, and sharded-inference programs.
+- :func:`compute_loss`: pure fn of (preds, example) — focal cls + smooth-L1
+  reg (sin-difference yaw) + direction CE.
+- :func:`predict`: pure fn — decode, score, per-class rotated NMS; static
+  output slots.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import box_jax, nms_jax
+from . import losses as losses_mod
+from .middle import DenseMiddle
+from .pointpillars import PillarFeatureNet, PointPillarsScatter
+from .rpn import RPN
+from .voxel_encoder import SimpleVoxel, VoxelFeatureExtractor
+
+VFE_REGISTRY = {
+    "SimpleVoxel": SimpleVoxel,
+    "VoxelFeatureExtractor": VoxelFeatureExtractor,
+    "PillarFeatureNet": PillarFeatureNet,
+}
+
+MIDDLE_REGISTRY = {
+    "PointPillarsScatter": PointPillarsScatter,
+    "DenseMiddle": DenseMiddle,
+    # sparse extractors registered lazily (import cycle + phase 2)
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelNetConfig:
+    """Static model config (hashable — safe as a jit static arg)."""
+
+    num_class: int = 1
+    # VFE
+    vfe_name: str = "PillarFeatureNet"
+    vfe_num_filters: Tuple[int, ...] = (64,)
+    num_input_features: int = 4
+    with_distance: bool = False
+    # geometry
+    voxel_size: Tuple[float, float, float] = (0.2, 0.2, 4.0)
+    pc_range: Tuple[float, ...] = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    grid_size: Tuple[int, int, int] = (352, 400, 1)  # (gx, gy, gz)
+    # middle
+    middle_name: str = "PointPillarsScatter"
+    middle_num_filters: Tuple[int, ...] = (16, 32, 64)
+    # RPN
+    rpn_layer_nums: Tuple[int, ...] = (3, 5, 5)
+    rpn_layer_strides: Tuple[int, ...] = (2, 2, 2)
+    rpn_num_filters: Tuple[int, ...] = (64, 128, 256)
+    rpn_upsample_strides: Tuple[float, ...] = (1, 2, 4)
+    rpn_num_upsample_filters: Tuple[int, ...] = (128, 128, 128)
+    num_anchor_per_loc: int = 2
+    box_code_size: int = 7
+    encode_background_as_zeros: bool = True
+    use_direction_classifier: bool = True
+    num_direction_bins: int = 2
+    direction_offset: float = 0.0
+    encode_rad_error_by_sin: bool = True
+    sin_error_factor: float = 1.0
+    # losses
+    cls_weight: float = 1.0
+    loc_weight: float = 2.0
+    dir_weight: float = 0.2
+    pos_cls_weight: float = 1.0
+    neg_cls_weight: float = 1.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    smooth_l1_sigma: float = 3.0
+    code_weights: Optional[Tuple[float, ...]] = None
+    loss_norm_type: str = "NormByNumPositives"
+    # post-processing
+    nms_class_agnostic: bool = False
+    use_rotate_nms: bool = True
+    nms_pre_max_size: int = 1000
+    nms_post_max_size: int = 100
+    nms_score_threshold: float = 0.05
+    nms_iou_threshold: float = 0.5
+
+    @property
+    def bev_shape(self) -> Tuple[int, int]:
+        return (self.grid_size[1], self.grid_size[0])  # (H=ny, W=nx)
+
+
+class VoxelNet(nn.Module):
+    """VFE -> middle -> RPN.  Returns raw prediction maps."""
+
+    cfg: VoxelNetConfig
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords, *, train: bool = False):
+        cfg = self.cfg
+        vfe_cls = VFE_REGISTRY[cfg.vfe_name]
+        if cfg.vfe_name == "PillarFeatureNet":
+            vfe = vfe_cls(num_input_features=cfg.num_input_features,
+                          num_filters=cfg.vfe_num_filters,
+                          with_distance=cfg.with_distance,
+                          voxel_size=cfg.voxel_size[:2],
+                          pc_range=cfg.pc_range[:2])
+        elif cfg.vfe_name == "VoxelFeatureExtractor":
+            vfe = vfe_cls(num_input_features=cfg.num_input_features,
+                          num_filters=cfg.vfe_num_filters,
+                          with_distance=cfg.with_distance)
+        else:
+            vfe = vfe_cls(num_input_features=cfg.num_input_features)
+        voxel_features = vfe(voxels, num_points, coords, train=train)
+
+        if cfg.middle_name == "PointPillarsScatter":
+            middle = PointPillarsScatter(
+                output_shape=cfg.bev_shape,
+                num_input_features=cfg.vfe_num_filters[-1])
+            spatial = middle(voxel_features, coords, train=train)
+        else:
+            middle_cls = MIDDLE_REGISTRY[cfg.middle_name]
+            grid_dhw = (cfg.grid_size[2], cfg.grid_size[1], cfg.grid_size[0])
+            middle = middle_cls(grid_dhw=grid_dhw,
+                                num_input_features=voxel_features.shape[-1],
+                                num_filters=cfg.middle_num_filters)
+            spatial = middle(voxel_features, coords, train=train)
+
+        rpn = RPN(layer_nums=cfg.rpn_layer_nums,
+                  layer_strides=cfg.rpn_layer_strides,
+                  num_filters=cfg.rpn_num_filters,
+                  upsample_strides=cfg.rpn_upsample_strides,
+                  num_upsample_filters=cfg.rpn_num_upsample_filters,
+                  num_anchor_per_loc=cfg.num_anchor_per_loc,
+                  num_class=cfg.num_class,
+                  box_code_size=cfg.box_code_size,
+                  use_direction_classifier=cfg.use_direction_classifier,
+                  num_direction_bins=cfg.num_direction_bins,
+                  encode_background_as_zeros=cfg.encode_background_as_zeros)
+        return rpn(spatial, train=train)
+
+
+# ---------------------------------------------------------------------------
+# loss (pure)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_preds(preds: Dict[str, jax.Array], cfg: VoxelNetConfig):
+    """[B,H,W,A*c] maps -> [B, H*W*A, c] aligned with the anchor axis."""
+    out = {}
+    B = preds["box_preds"].shape[0]
+    out["box_preds"] = preds["box_preds"].reshape(B, -1, cfg.box_code_size)
+    ncls = (cfg.num_class if cfg.encode_background_as_zeros
+            else cfg.num_class + 1)
+    out["cls_preds"] = preds["cls_preds"].reshape(B, -1, ncls)
+    if "dir_cls_preds" in preds:
+        out["dir_cls_preds"] = preds["dir_cls_preds"].reshape(
+            B, -1, cfg.num_direction_bins)
+    return out
+
+
+def compute_loss(preds: Dict[str, jax.Array], example: Dict[str, jax.Array],
+                 cfg: VoxelNetConfig) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Total loss + per-term metrics.
+
+    example: labels [B,A] int32, reg_targets [B,A,code], anchors [B,A,7].
+    """
+    p = _flatten_preds(preds, cfg)
+    labels = example["labels"]
+    reg_targets = example["reg_targets"]
+
+    cls_weights, reg_weights, cared = losses_mod.prepare_loss_weights(
+        labels, cfg.pos_cls_weight, cfg.neg_cls_weight, cfg.loss_norm_type)
+
+    # classification: one-hot with background dropped
+    cls_targets = jnp.where(cared, labels, 0)
+    one_hot = jax.nn.one_hot(cls_targets, cfg.num_class + 1,
+                             dtype=p["cls_preds"].dtype)
+    if cfg.encode_background_as_zeros:
+        one_hot = one_hot[..., 1:]
+    focal = losses_mod.SigmoidFocalClassificationLoss(
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+    cls_losses = focal(p["cls_preds"], one_hot, cls_weights)
+    cls_loss = cls_losses.sum() / labels.shape[0]
+
+    # localization: sin-difference on yaw
+    box_preds = p["box_preds"]
+    if cfg.encode_rad_error_by_sin:
+        box_preds_s, reg_targets_s = box_jax.add_sin_difference(
+            box_preds, reg_targets)
+    else:
+        box_preds_s, reg_targets_s = box_preds, reg_targets
+    smooth_l1 = losses_mod.WeightedSmoothL1LocalizationLoss(
+        sigma=cfg.smooth_l1_sigma, code_weights=cfg.code_weights)
+    loc_losses = smooth_l1(box_preds_s, reg_targets_s, reg_weights)
+    loc_loss = loc_losses.sum() / labels.shape[0]
+
+    total = cfg.cls_weight * cls_loss + cfg.loc_weight * loc_loss
+    metrics = {"loss_cls": cls_loss, "loss_loc": loc_loss}
+
+    if cfg.use_direction_classifier:
+        dir_targets = box_jax.get_direction_target(
+            example["anchors"], reg_targets, cfg.direction_offset,
+            cfg.num_direction_bins)
+        dir_one_hot = jax.nn.one_hot(dir_targets, cfg.num_direction_bins,
+                                     dtype=p["dir_cls_preds"].dtype)
+        dir_w = (labels > 0).astype(box_preds.dtype)
+        dir_w = dir_w / jnp.maximum(dir_w.sum(-1, keepdims=True), 1.0)
+        softmax_loss = losses_mod.WeightedSoftmaxClassificationLoss()
+        dir_loss = softmax_loss(p["dir_cls_preds"], dir_one_hot,
+                                dir_w).sum() / labels.shape[0]
+        total = total + cfg.dir_weight * dir_loss
+        metrics["loss_dir"] = dir_loss
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+# ---------------------------------------------------------------------------
+# predict (pure)
+# ---------------------------------------------------------------------------
+
+
+def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
+            cfg: VoxelNetConfig,
+            anchors_mask: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Decode + score-threshold + per-class rotated NMS.
+
+    Args:
+        preds: raw RPN maps.
+        anchors: [B, A, 7].
+        anchors_mask: optional [B, A] bool.
+
+    Returns (static shapes, D = nms_post_max_size per class):
+        boxes [B, K, 7], scores [B, K], labels [B, K] (int, 0-based class),
+        valid [B, K] with K = num_class * post_max_size.
+    """
+    p = _flatten_preds(preds, cfg)
+    box_preds = p["box_preds"].astype(jnp.float32)
+    cls_preds = p["cls_preds"].astype(jnp.float32)
+    batch_boxes = box_jax.second_box_decode(box_preds, anchors)
+
+    if cfg.encode_background_as_zeros:
+        scores_all = jax.nn.sigmoid(cls_preds)  # [B, A, num_class]
+    else:
+        scores_all = jax.nn.softmax(cls_preds, axis=-1)[..., 1:]
+
+    if cfg.use_direction_classifier:
+        dir_labels = jnp.argmax(p["dir_cls_preds"], axis=-1)
+        period = 2 * jnp.pi / cfg.num_direction_bins
+        dir_rot = box_jax.limit_period(
+            batch_boxes[..., 6] - cfg.direction_offset, 0.0, period)
+        yaw = (dir_rot + cfg.direction_offset
+               + period * dir_labels.astype(jnp.float32))
+        batch_boxes = batch_boxes.at[..., 6].set(yaw)
+
+    if anchors_mask is not None:
+        scores_all = jnp.where(anchors_mask[..., None], scores_all, 0.0)
+
+    def _per_sample(boxes, scores):
+        # boxes [A,7], scores [A,C]
+        outs = []
+        for c in range(cfg.num_class):
+            sc = scores[:, c]
+            sc = jnp.where(sc >= cfg.nms_score_threshold, sc, -jnp.inf)
+            if cfg.use_rotate_nms:
+                bev = boxes[:, jnp.array([0, 1, 3, 4, 6])]
+                idx, valid = nms_jax.rotate_nms(
+                    bev, sc, cfg.nms_iou_threshold,
+                    pre_max_size=min(cfg.nms_pre_max_size, boxes.shape[0]),
+                    post_max_size=cfg.nms_post_max_size)
+            else:
+                bev = nms_jax.rbbox_to_near_bbox(
+                    boxes[:, jnp.array([0, 1, 3, 4, 6])])
+                idx, valid = nms_jax.nearest_nms(
+                    bev, sc, cfg.nms_iou_threshold,
+                    pre_max_size=min(cfg.nms_pre_max_size, boxes.shape[0]),
+                    post_max_size=cfg.nms_post_max_size)
+            safe = jnp.where(valid, idx, 0)
+            outs.append((boxes[safe], jnp.where(valid, sc[safe], 0.0),
+                         jnp.full_like(idx, c), valid))
+        b = jnp.concatenate([o[0] for o in outs], axis=0)
+        s = jnp.concatenate([o[1] for o in outs], axis=0)
+        l = jnp.concatenate([o[2] for o in outs], axis=0)
+        v = jnp.concatenate([o[3] for o in outs], axis=0)
+        return b, s, l, v
+
+    boxes, scores, labels, valid = jax.vmap(_per_sample)(
+        batch_boxes, scores_all)
+    return {"box3d_lidar": boxes, "scores": scores,
+            "label_preds": labels, "valid": valid}
+
+
+def build_voxelnet(cfg: VoxelNetConfig) -> VoxelNet:
+    return VoxelNet(cfg=cfg)
