@@ -1,0 +1,83 @@
+"""VoxelNet proto + voxelizer + target assigner -> flax model + static config.
+
+The reference's ``second_builder.build(cfg) -> VoxelNet(nn.Module)``
+[ref: second/pytorch/builder/second_builder.py — UNVERIFIED]; here the
+output is (VoxelNet flax module, VoxelNetConfig, feature_map_size) since
+flax modules are stateless descriptions.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..models.voxelnet import VoxelNet, VoxelNetConfig
+from ..protos import second_pb2
+from . import losses_builder
+
+_LOSS_NORM = {0: "NormByNumPositives", 1: "NormByNumExamples",
+              2: "NormByNumPosNeg", 3: "DontNorm"}
+
+
+def feature_map_size_from(model_cfg, grid_size) -> Tuple[int, int, int]:
+    """(D=1, H, W) anchor/feature grid given middle downsample factor."""
+    df = int(model_cfg.middle_feature_extractor.downsample_factor) or 1
+    gx, gy = int(grid_size[0]), int(grid_size[1])
+    return (1, gy // df, gx // df)
+
+
+def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
+    grid_size = voxel_generator.grid_size  # (gx, gy, gz)
+    loss = losses_builder.build(model_cfg.loss)
+
+    vfe = model_cfg.voxel_feature_extractor
+    mid = model_cfg.middle_feature_extractor
+    rpn = model_cfg.rpn
+
+    middle_filters = (tuple(mid.num_filters_down1)
+                      + tuple(mid.num_filters_down2)) or (16, 32, 64)
+
+    cfg = VoxelNetConfig(
+        num_class=len(target_assigner.classes),
+        vfe_name=vfe.module_class_name or "SimpleVoxel",
+        vfe_num_filters=tuple(vfe.num_filters) or (64,),
+        num_input_features=int(model_cfg.num_point_features) or 4,
+        with_distance=vfe.with_distance,
+        voxel_size=tuple(voxel_generator.voxel_size),
+        pc_range=tuple(voxel_generator.point_cloud_range),
+        grid_size=tuple(int(g) for g in grid_size),
+        middle_name=mid.module_class_name or "PointPillarsScatter",
+        middle_num_filters=middle_filters,
+        rpn_layer_nums=tuple(rpn.layer_nums) or (3, 5, 5),
+        rpn_layer_strides=tuple(int(s) for s in rpn.layer_strides) or (2, 2, 2),
+        rpn_num_filters=tuple(rpn.num_filters) or (128, 128, 256),
+        rpn_upsample_strides=tuple(rpn.upsample_strides) or (1, 2, 4),
+        rpn_num_upsample_filters=(tuple(rpn.num_upsample_filters)
+                                  or (256, 256, 256)),
+        num_anchor_per_loc=target_assigner.num_anchors_per_location,
+        box_code_size=target_assigner.box_code_size,
+        encode_background_as_zeros=model_cfg.encode_background_as_zeros,
+        use_direction_classifier=model_cfg.use_direction_classifier,
+        num_direction_bins=int(model_cfg.num_direction_bins) or 2,
+        direction_offset=model_cfg.direction_offset,
+        encode_rad_error_by_sin=model_cfg.encode_rad_error_by_sin,
+        sin_error_factor=model_cfg.sin_error_factor or 1.0,
+        cls_weight=loss.cls_weight,
+        loc_weight=loss.loc_weight,
+        dir_weight=model_cfg.direction_loss_weight or 0.2,
+        pos_cls_weight=model_cfg.pos_class_weight or 1.0,
+        neg_cls_weight=model_cfg.neg_class_weight or 1.0,
+        focal_gamma=loss.focal_gamma,
+        focal_alpha=loss.focal_alpha,
+        smooth_l1_sigma=loss.smooth_l1_sigma,
+        code_weights=loss.code_weights,
+        loss_norm_type=_LOSS_NORM[int(model_cfg.loss_norm_type)],
+        use_rotate_nms=model_cfg.use_rotate_nms,
+        nms_pre_max_size=int(model_cfg.nms_pre_max_size) or 1000,
+        nms_post_max_size=int(model_cfg.nms_post_max_size) or 100,
+        nms_score_threshold=model_cfg.nms_score_threshold or 0.05,
+        nms_iou_threshold=model_cfg.nms_iou_threshold or 0.5,
+    )
+    model = VoxelNet(cfg=cfg)
+    fmap = feature_map_size_from(model_cfg, grid_size)
+    return model, cfg, fmap

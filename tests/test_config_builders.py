@@ -1,0 +1,88 @@
+"""Config system: textproto parse -> builder tree -> model/assigner."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from automatic_as_built_reconstruction_tpu import builder
+from automatic_as_built_reconstruction_tpu.builder import (
+    box_coder_builder, optimizer_builder, second_builder,
+    target_assigner_builder, voxel_builder)
+
+CONFIG_DIR = (pathlib.Path(__file__).parent.parent
+              / "automatic_as_built_reconstruction_tpu" / "configs")
+
+
+@pytest.fixture(scope="module")
+def pp_cfg():
+    return builder.load_config(
+        CONFIG_DIR / "pointpillars" / "car" / "xyres_16.config")
+
+
+class TestConfigParse:
+    def test_roundtrip(self, pp_cfg, tmp_path):
+        builder.save_config(pp_cfg, tmp_path / "out.config")
+        cfg2 = builder.load_config(tmp_path / "out.config")
+        assert cfg2 == pp_cfg
+
+    def test_fields(self, pp_cfg):
+        m = pp_cfg.model.second
+        assert m.voxel_feature_extractor.module_class_name == "PillarFeatureNet"
+        assert list(m.voxel_generator.voxel_size) == pytest.approx(
+            [0.16, 0.16, 4.0])
+        assert m.target_assigner.class_settings[0].class_name == "Car"
+        assert pp_cfg.train_config.steps == 296960
+
+
+class TestBuilders:
+    def test_voxel_builder(self, pp_cfg):
+        gen = voxel_builder.build(pp_cfg.model.second.voxel_generator)
+        np.testing.assert_array_equal(gen.grid_size, [432, 496, 1])
+        assert gen.max_num_points == 100
+
+    def test_target_assigner(self, pp_cfg):
+        m = pp_cfg.model.second
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        assert assigner.classes == ["Car"]
+        assert assigner.num_anchors_per_location == 2
+        ret = assigner.generate_anchors((1, 248, 216))
+        assert ret["anchors"].shape == (248 * 216 * 2, 7)
+        # stride anchors: first anchor at offset
+        np.testing.assert_allclose(ret["anchors"][0, :3],
+                                   [0.16, -39.52, -1.78], atol=1e-5)
+        np.testing.assert_allclose(ret["matched_thresholds"][0], 0.6)
+
+    def test_second_builder(self, pp_cfg):
+        m = pp_cfg.model.second
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        model, cfg, fmap = second_builder.build(m, gen, assigner)
+        assert cfg.vfe_name == "PillarFeatureNet"
+        assert cfg.grid_size == (432, 496, 1)
+        assert cfg.num_class == 1
+        assert cfg.loc_weight == 2.0
+        assert fmap == (1, 248, 216)
+        assert cfg.rpn_layer_nums == (3, 5, 5)
+
+    def test_optimizer_builder(self, pp_cfg):
+        import jax.numpy as jnp
+        tx = optimizer_builder.build(pp_cfg.train_config.optimizer,
+                                     pp_cfg.train_config.steps)
+        params = {"w": jnp.zeros((3,))}
+        state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        updates, state = tx.update(grads, state, params)
+        assert jnp.isfinite(updates["w"]).all()
+
+    def test_onecycle_schedule_shape(self, pp_cfg):
+        sched = optimizer_builder.build_lr_schedule(
+            pp_cfg.train_config.optimizer.adam_optimizer.learning_rate,
+            total_steps=1000)
+        lr0 = float(sched(0))
+        lr_peak = float(sched(400))
+        lr_end = float(sched(999))
+        assert lr_peak == pytest.approx(0.003, rel=1e-3)
+        assert lr0 == pytest.approx(0.003 / 10.0, rel=1e-3)
+        assert lr_end < lr0
