@@ -1,0 +1,108 @@
+"""InputReader proto -> (PrepDataset, BatchLoader).
+
+[ref: second/pytorch/builder/input_reader_builder.py — UNVERIFIED]
+"""
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import numpy as np
+
+from ..core import box_ops
+from ..data import building  # noqa: F401 — registers BuildingDataset
+from ..data import kitti_dataset  # noqa: F401 — registers KittiDataset
+from ..data.dataset import get_dataset_class
+from ..data.preprocess import PrepConfig, prep_pointcloud
+from ..train.input_pipeline import BatchLoader, PrepDataset
+from . import dbsampler_builder
+
+
+def _build_dataset(ds_cfg, class_names, training=True):
+    cls = get_dataset_class(ds_cfg.dataset_class_name or "KittiDataset")
+    name = cls.__name__
+    if name == "BuildingDataset":
+        return cls(root_path=ds_cfg.kitti_root_path or None,
+                   info_path=ds_cfg.kitti_info_path or None,
+                   class_names=class_names or building.CLASSES,
+                   num_synthetic=256 if training else 32,
+                   synthetic_seed=0 if training else 7)
+    return cls(root_path=ds_cfg.kitti_root_path,
+               info_path=ds_cfg.kitti_info_path,
+               class_names=class_names)
+
+
+def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
+    def pair(v, default):
+        return tuple(v) if len(v) else default
+
+    return PrepConfig(
+        class_names=tuple(class_names),
+        max_voxels=int(pp.max_number_of_voxels) or 12000,
+        shuffle_points=pp.shuffle_points,
+        gt_loc_noise_std=pair(pp.groundtruth_localization_noise_std,
+                              (0.0, 0.0, 0.0)),
+        gt_rotation_noise=pair(pp.groundtruth_rotation_uniform_noise,
+                               (0.0, 0.0)),
+        global_rotation_noise=pair(pp.global_rotation_uniform_noise,
+                                   (0.0, 0.0)),
+        global_scaling_noise=pair(pp.global_scaling_uniform_noise,
+                                  (1.0, 1.0)),
+        global_translate_noise_std=pair(pp.global_translate_noise_std,
+                                        (0.0, 0.0, 0.0)),
+        random_flip_x=pp.random_flip_x,
+        random_flip_y=pp.random_flip_y,
+        anchor_area_threshold=(pp.anchor_area_threshold
+                               if pp.anchor_area_threshold else -1.0),
+        min_points_in_gt=int(pp.min_num_of_points_in_gt) or -1,
+        remove_points_after_sample=pp.remove_points_after_sample,
+        out_size_factor=out_size_factor,
+    )
+
+
+def build(input_cfg, training: bool, voxel_generator, target_assigner,
+          feature_map_size, seed: int = 0):
+    """Returns (PrepDataset, BatchLoader)."""
+    class_names = list(input_cfg.class_names)
+    dataset = _build_dataset(input_cfg.dataset, class_names, training)
+    pp = input_cfg.preprocess
+    prep_cfg = _prep_config(pp, class_names or ["Car"],
+                            out_size_factor=1)
+
+    db_sampler = None
+    if training and pp.database_sampler.database_info_path:
+        db_sampler = dbsampler_builder.build(
+            pp.database_sampler, rng=np.random.default_rng(seed))
+
+    # anchor cache: computed once for the fixed feature map
+    ret = target_assigner.generate_anchors(feature_map_size)
+    anchors = ret["anchors"].reshape(-1, 7).astype(np.float32)
+    anchor_cache = {
+        "anchors": anchors,
+        "anchors_bv": box_ops.rbbox2d_to_near_bbox(
+            anchors[:, [0, 1, 3, 4, 6]]),
+        "matched_thresholds": ret["matched_thresholds"],
+        "unmatched_thresholds": ret["unmatched_thresholds"],
+    }
+
+    prep_fn = functools.partial(
+        prep_pointcloud,
+        voxel_generator=voxel_generator,
+        target_assigner=target_assigner,
+        prep_cfg=prep_cfg,
+        training=training,
+        anchor_cache=anchor_cache,
+        db_sampler=db_sampler,
+    )
+    prep_ds = PrepDataset(dataset,
+                          lambda sd, rng: prep_fn(sd, rng=rng))
+    loader = BatchLoader(
+        prep_ds,
+        batch_size=int(input_cfg.batch_size) or 2,
+        shuffle=training,
+        num_workers=int(input_cfg.num_workers) or 1,
+        seed=seed,
+        repeat=training,
+        drop_last=training,
+    )
+    return prep_ds, loader

@@ -42,14 +42,14 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        s = self.stride
-        if s >= 1:
+        if self.stride >= 1:
+            s = int(round(self.stride))
             x = nn.ConvTranspose(self.filters, (s, s), strides=(s, s),
                                  use_bias=False)(x)
         else:
             # fractional "upsample" = downsample conv (lineage supports
             # upsample_strides < 1 expressed as 1/int)
-            inv = int(round(1 / s))
+            inv = int(round(1 / self.stride))
             x = nn.Conv(self.filters, (inv, inv), strides=(inv, inv),
                         use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
