@@ -36,6 +36,21 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
 
     middle_filters = (tuple(mid.num_filters_down1)
                       + tuple(mid.num_filters_down2)) or (16, 32, 64)
+    nb = len(middle_filters)
+    is_sparse = (mid.module_class_name or "").startswith(("SpMiddle",
+                                                          "SparseMiddle"))
+    if is_sparse:
+        # z halves every block; xy downsample spread so the total equals
+        # the configured downsample_factor
+        df = int(mid.downsample_factor) or 8
+        n_xy = max(int(np.log2(df)), 0)
+        middle_xy = tuple(2 if i < n_xy else 1 for i in range(nb))
+        middle_z = tuple(2 for _ in range(nb))
+        middle_layers = tuple(2 for _ in range(nb))
+    else:
+        middle_xy = tuple(1 for _ in range(nb - 1)) + (2,)
+        middle_z = tuple(2 for _ in range(nb))
+        middle_layers = tuple(2 for _ in range(nb))
 
     cfg = VoxelNetConfig(
         num_class=len(target_assigner.classes),
@@ -48,6 +63,9 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         grid_size=tuple(int(g) for g in grid_size),
         middle_name=mid.module_class_name or "PointPillarsScatter",
         middle_num_filters=middle_filters,
+        middle_layers_per_block=middle_layers,
+        middle_z_strides=middle_z,
+        middle_xy_strides=middle_xy,
         rpn_layer_nums=tuple(rpn.layer_nums) or (3, 5, 5),
         rpn_layer_strides=tuple(int(s) for s in rpn.layer_strides) or (2, 2, 2),
         rpn_num_filters=tuple(rpn.num_filters) or (128, 128, 256),

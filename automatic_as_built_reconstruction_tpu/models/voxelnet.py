@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops import box_jax, nms_jax
 from . import losses as losses_mod
-from .middle import DenseMiddle
+from .middle import DenseMiddle, SparseMiddle
 from .pointpillars import PillarFeatureNet, PointPillarsScatter
 from .rpn import RPN
 from .voxel_encoder import SimpleVoxel, VoxelFeatureExtractor
@@ -37,7 +37,9 @@ VFE_REGISTRY = {
 MIDDLE_REGISTRY = {
     "PointPillarsScatter": PointPillarsScatter,
     "DenseMiddle": DenseMiddle,
-    # sparse extractors registered lazily (import cycle + phase 2)
+    "SparseMiddle": SparseMiddle,
+    "SpMiddleFHD": SparseMiddle,     # lineage name -> TPU sparse stack
+    "SpMiddle2K": SparseMiddle,
 }
 
 
@@ -58,6 +60,9 @@ class VoxelNetConfig:
     # middle
     middle_name: str = "PointPillarsScatter"
     middle_num_filters: Tuple[int, ...] = (16, 32, 64)
+    middle_layers_per_block: Tuple[int, ...] = (2, 2, 2)
+    middle_z_strides: Tuple[int, ...] = (2, 2, 2)
+    middle_xy_strides: Tuple[int, ...] = (1, 1, 2)
     # RPN
     rpn_layer_nums: Tuple[int, ...] = (3, 5, 5)
     rpn_layer_strides: Tuple[int, ...] = (2, 2, 2)
@@ -127,9 +132,13 @@ class VoxelNet(nn.Module):
         else:
             middle_cls = MIDDLE_REGISTRY[cfg.middle_name]
             grid_dhw = (cfg.grid_size[2], cfg.grid_size[1], cfg.grid_size[0])
-            middle = middle_cls(grid_dhw=grid_dhw,
-                                num_input_features=voxel_features.shape[-1],
-                                num_filters=cfg.middle_num_filters)
+            middle = middle_cls(
+                grid_dhw=grid_dhw,
+                num_input_features=voxel_features.shape[-1],
+                num_filters=cfg.middle_num_filters,
+                layers_per_block=cfg.middle_layers_per_block,
+                z_strides=cfg.middle_z_strides,
+                xy_strides=cfg.middle_xy_strides)
             spatial = middle(voxel_features, coords, train=train)
 
         rpn = RPN(layer_nums=cfg.rpn_layer_nums,

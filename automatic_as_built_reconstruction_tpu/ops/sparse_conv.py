@@ -1,0 +1,256 @@
+"""Sparse 3D convolution for TPU — gather-GEMM-scatter with an on-device
+rulebook.
+
+TPU-first replacement for the spconv C++/CUDA library [ref: external
+spconv/src/spconv/indice.cu (getIndicePairs), reordering.cu, SparseConvTensor
+— UNVERIFIED; BASELINE.json names this component explicitly]:
+
+- **Rulebook** = for every (output site, kernel offset), the index of the
+  contributing input site.  Built on device from sorted linearized voxel
+  keys + ``jnp.searchsorted`` — no hash tables, no atomics, fully static
+  shapes (capacity + validity masks).
+- **Submanifold conv** (SubMConv3d): output sites == input sites.  The
+  per-offset gather is a dense take; the GEMM accumulates over kernel
+  offsets with ``lax.scan`` so the working set stays [N, C].
+- **Strided conv** (SparseConv3d): output sites = unique positions whose
+  receptive field touches an input (exact spconv semantics, generated from
+  per-input output candidates + sort-unique compaction).
+
+Values are parity-tested against dense ``lax.conv_general_dilated`` on
+densified inputs (the spconv test pattern).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
+    """[K, 3] kernel offsets in (z, y, x), centered (sub-manifold style)."""
+    kz, ky, kx = kernel_size
+    return np.stack(np.meshgrid(
+        np.arange(kz) - kz // 2,
+        np.arange(ky) - ky // 2,
+        np.arange(kx) - kx // 2, indexing="ij"), -1).reshape(-1, 3)
+
+
+def linearize(coords: jax.Array, grid_dhw: Tuple[int, int, int]) -> jax.Array:
+    """(z,y,x) int coords -> linear keys; invalid (<0 or >=grid) -> INT_MAX."""
+    D, H, W = grid_dhw
+    z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
+    ok = ((z >= 0) & (z < D) & (y >= 0) & (y < H) & (x >= 0) & (x < W))
+    key = (z * H + y) * W + x
+    return jnp.where(ok, key, _INT32_MAX)
+
+
+class SubmanifoldRulebook(NamedTuple):
+    gather_idx: jax.Array   # [K, N] input index per (offset, output site)
+    found: jax.Array        # [K, N] bool
+
+
+def build_submanifold_rulebook(coords: jax.Array, valid: jax.Array,
+                               grid_dhw: Tuple[int, int, int],
+                               kernel_size: Tuple[int, int, int] = (3, 3, 3)
+                               ) -> SubmanifoldRulebook:
+    """coords [N,3] (z,y,x), valid [N] -> neighbor table over K offsets.
+
+    One sorted key array serves every SubM layer of a block (same active
+    set — the spconv rulebook-reuse trick falls out for free).
+    """
+    N = coords.shape[0]
+    keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
+    order = jnp.argsort(keys)                    # invalid sorted last
+    skeys = keys[order]
+    offsets = jnp.asarray(_offsets(kernel_size), jnp.int32)  # [K, 3]
+
+    def one_offset(off):
+        qcoords = coords + off[None, :]
+        qkeys = jnp.where(valid, linearize(qcoords, grid_dhw), _INT32_MAX)
+        pos = jnp.searchsorted(skeys, qkeys)
+        pos = jnp.clip(pos, 0, N - 1)
+        hit = (skeys[pos] == qkeys) & (qkeys != _INT32_MAX)
+        return order[pos].astype(jnp.int32), hit
+
+    gather_idx, found = jax.vmap(one_offset)(offsets)
+    return SubmanifoldRulebook(gather_idx, found)
+
+
+def submanifold_conv(features: jax.Array, rulebook: SubmanifoldRulebook,
+                     weights: jax.Array, bias: jax.Array | None = None,
+                     valid: jax.Array | None = None) -> jax.Array:
+    """features [N, Cin], weights [K, Cin, Cout] -> [N, Cout].
+
+    scan over kernel offsets: gather -> masked GEMM -> accumulate.
+    """
+    N = features.shape[0]
+    Cout = weights.shape[-1]
+
+    def body(acc, inputs):
+        g_idx, hit, w = inputs
+        gathered = jnp.where(hit[:, None], features[g_idx], 0.0)
+        return acc + jnp.dot(gathered, w,
+                             preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((N, Cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0,
+                          (rulebook.gather_idx, rulebook.found, weights))
+    if bias is not None:
+        out = out + bias
+    if valid is not None:
+        out = jnp.where(valid[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+class StridedSparseLayout(NamedTuple):
+    out_coords: jax.Array   # [M, 3] (z,y,x), -1 padding
+    out_valid: jax.Array    # [M]
+    gather_idx: jax.Array   # [K, M] input index per (offset, output)
+    found: jax.Array        # [K, M]
+    num_out: jax.Array      # [] int32
+
+
+def build_strided_layout(coords: jax.Array, valid: jax.Array,
+                         grid_dhw: Tuple[int, int, int],
+                         kernel_size: Tuple[int, int, int],
+                         stride: Tuple[int, int, int],
+                         padding: Tuple[int, int, int],
+                         max_out: int) -> StridedSparseLayout:
+    """Exact spconv-style strided output generation + rulebook.
+
+    Output site o (per dim) receives input i iff  o*s + k - p == i  for some
+    kernel tap k in [0, K).  Candidates per input: all integer o per dim.
+    """
+    N = coords.shape[0]
+    D, H, W = grid_dhw
+    s = np.asarray(stride)
+    p = np.asarray(padding)
+    k = np.asarray(kernel_size)
+    out_grid = tuple(int((g + 2 * pp - kk) // ss + 1)
+                     for g, pp, kk, ss in zip(grid_dhw, p, k, s))
+
+    # per-dim candidate outputs for an input i: o = (i + p - t) / s for
+    # t in [0, k): enumerate t, keep integral & in-range.
+    cand_per_dim = [np.arange(kk) for kk in k]
+    # full tap grid [T, 3], T = kz*ky*kx — bounded (27 for 3^3)
+    taps = np.stack(np.meshgrid(*cand_per_dim, indexing="ij"), -1
+                    ).reshape(-1, 3)
+    taps = jnp.asarray(taps, jnp.int32)
+    T = taps.shape[0]
+    sj = jnp.asarray(s, jnp.int32)
+    pj = jnp.asarray(p, jnp.int32)
+
+    def candidates(off):
+        num = coords + pj[None, :] - off[None, :]
+        o = num // sj[None, :]
+        exact = (o * sj[None, :] == num)
+        ok = valid & exact.all(-1)
+        okey = linearize(o, out_grid)
+        return jnp.where(ok, okey, _INT32_MAX)
+
+    cand_keys = jax.vmap(candidates)(taps).reshape(-1)      # [T*N]
+    skeys = jnp.sort(cand_keys)
+    first = jnp.concatenate(
+        [jnp.array([True]), skeys[1:] != skeys[:-1]]) & (skeys != _INT32_MAX)
+    pos_out = jnp.cumsum(first) - 1
+    out_keys = jnp.full((max_out + 1,), _INT32_MAX, jnp.int32)
+    out_keys = out_keys.at[
+        jnp.where(first & (pos_out < max_out), pos_out, max_out)
+    ].set(skeys, mode="drop")[:max_out]
+    num_out = jnp.minimum(jnp.sum(first), max_out).astype(jnp.int32)
+    out_valid = jnp.arange(max_out) < num_out
+    # out_keys is sorted ascending (construction order preserves sort)
+    oW, oH = out_grid[2], out_grid[1]
+    oz = out_keys // (oH * oW)
+    oy = (out_keys // oW) % oH
+    ox = out_keys % oW
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)
+
+    # rulebook: input coord for (output, tap) = o*s + tap - p
+    in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
+    order = jnp.argsort(in_keys)
+    sorted_in = in_keys[order]
+
+    def one_tap(off):
+        icoords = out_coords * sj[None, :] + off[None, :] - pj[None, :]
+        ikeys = jnp.where(out_valid, linearize(icoords, grid_dhw),
+                          _INT32_MAX)
+        posn = jnp.clip(jnp.searchsorted(sorted_in, ikeys), 0, N - 1)
+        hit = (sorted_in[posn] == ikeys) & (ikeys != _INT32_MAX)
+        return order[posn].astype(jnp.int32), hit
+
+    gather_idx, found = jax.vmap(one_tap)(taps)
+    return StridedSparseLayout(out_coords, out_valid, gather_idx, found,
+                               num_out)
+
+
+def strided_sparse_conv(features: jax.Array, layout: StridedSparseLayout,
+                        weights: jax.Array,
+                        bias: jax.Array | None = None) -> jax.Array:
+    """features [N, Cin], weights [T, Cin, Cout] -> [M, Cout]."""
+    M = layout.out_valid.shape[0]
+    Cout = weights.shape[-1]
+
+    def body(acc, inputs):
+        g_idx, hit, w = inputs
+        gathered = jnp.where(hit[:, None], features[g_idx], 0.0)
+        return acc + jnp.dot(gathered, w,
+                             preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((M, Cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0,
+                          (layout.gather_idx, layout.found, weights))
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(layout.out_valid[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def scatter_to_bev(features: jax.Array, coords: jax.Array, valid: jax.Array,
+                   grid_dhw: Tuple[int, int, int]) -> jax.Array:
+    """[N, C] sparse -> dense BEV [H, W, D*C] (depth folded into channels —
+    the `.dense() + reshape` at the end of the reference middle stack)."""
+    D, H, W = grid_dhw
+    C = features.shape[-1]
+    lin = (coords[:, 0] * H + coords[:, 1]) * W + coords[:, 2]
+    lin = jnp.where(valid, lin, D * H * W)
+    dense = jnp.zeros((D * H * W + 1, C), features.dtype)
+    dense = dense.at[lin].set(jnp.where(valid[:, None], features, 0.0))
+    dense = dense[: D * H * W].reshape(D, H, W, C)
+    return jnp.transpose(dense, (1, 2, 0, 3)).reshape(H, W, D * C)
+
+
+# ---------------------------------------------------------------------------
+# dense reference (parity oracle) helpers
+# ---------------------------------------------------------------------------
+
+
+def densify(features, coords, valid, grid_dhw):
+    """[N,C] sparse -> [D,H,W,C] dense (testing only)."""
+    D, H, W = grid_dhw
+    C = features.shape[-1]
+    lin = (coords[:, 0] * H + coords[:, 1]) * W + coords[:, 2]
+    lin = jnp.where(valid, lin, D * H * W)
+    dense = jnp.zeros((D * H * W + 1, C), features.dtype)
+    dense = dense.at[lin].set(jnp.where(valid[:, None], features, 0.0))
+    return dense[: D * H * W].reshape(D, H, W, C)
+
+
+def dense_conv3d(dense, weights, kernel_size, stride=(1, 1, 1),
+                 padding=None):
+    """lax 3D conv matching the sparse weight layout [T, Cin, Cout]."""
+    kz, ky, kx = kernel_size
+    if padding is None:
+        padding = (kz // 2, ky // 2, kx // 2)
+    w = weights.reshape(kz, ky, kx, weights.shape[1], weights.shape[2])
+    return jax.lax.conv_general_dilated(
+        dense[None], w, window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
