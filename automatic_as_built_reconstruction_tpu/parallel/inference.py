@@ -1,0 +1,85 @@
+"""Batched pod inference (BASELINE.json config 5).
+
+Whole-scan point buffers are batch-sharded over the ``data`` mesh axis;
+each shard voxelizes its scans on device (hard or dynamic/cap-free
+voxelization), runs the network, decodes, and NMS-es — one jit program,
+XLA handles the cross-chip layout.  Scales to batch >= num_devices with
+zero host-side resharding.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import voxelnet as voxelnet_mod
+from ..ops import voxelize_jax
+
+
+class PodInference:
+    """jit-once, stream-batches pod inference for a built model."""
+
+    def __init__(self, model, model_cfg, variables, anchors: np.ndarray,
+                 mesh: Optional[Mesh] = None,
+                 max_voxels: int = 20000, max_points_per_voxel: int = 32):
+        self._model = model
+        self._cfg = model_cfg
+        self._mesh = mesh
+        self._anchors = jnp.asarray(anchors)  # [A, 7]
+        self._max_voxels = max_voxels
+        self._max_ppv = max_points_per_voxel
+        if mesh is not None:
+            self._variables = jax.device_put(
+                variables, NamedSharding(mesh, P()))
+        else:
+            self._variables = variables
+        self._fn = self._build()
+
+    def _build(self):
+        cfg = self._cfg
+
+        def run(variables, points, num_valid):
+            vox = jax.vmap(lambda p, n: voxelize_jax.voxelize(
+                p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+                grid_size=cfg.grid_size, max_points=self._max_ppv,
+                max_voxels=self._max_voxels,
+                first_appearance=False))(points, num_valid)
+            preds = self._model.apply(variables, vox.voxels, vox.num_points,
+                                      vox.coords, train=False)
+            anchors = jnp.broadcast_to(
+                self._anchors, (points.shape[0],) + self._anchors.shape)
+            return voxelnet_mod.predict(preds, anchors, cfg)
+
+        if self._mesh is None:
+            return jax.jit(run)
+        data = NamedSharding(self._mesh, P("data"))
+        repl = NamedSharding(self._mesh, P())
+        return jax.jit(run, in_shardings=(repl, data, data),
+                       out_shardings=data)
+
+    def __call__(self, points: np.ndarray,
+                 num_valid: np.ndarray) -> Dict[str, np.ndarray]:
+        """points [B, P, C] padded, num_valid [B] -> detection dict
+        (host numpy, padded with validity mask)."""
+        if self._mesh is not None:
+            data = NamedSharding(self._mesh, P("data"))
+            points = jax.device_put(jnp.asarray(points), data)
+            num_valid = jax.device_put(jnp.asarray(num_valid), data)
+        out = self._fn(self._variables, points, num_valid)
+        return jax.device_get(out)
+
+    def detections_list(self, out: Dict[str, np.ndarray]):
+        """Split a padded output dict into per-scan detection dicts."""
+        dets = []
+        for b in range(out["box3d_lidar"].shape[0]):
+            v = out["valid"][b]
+            dets.append({
+                "box3d_lidar": out["box3d_lidar"][b][v],
+                "scores": out["scores"][b][v],
+                "label_preds": out["label_preds"][b][v],
+            })
+        return dets

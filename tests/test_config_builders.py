@@ -86,3 +86,25 @@ class TestBuilders:
         assert lr_peak == pytest.approx(0.003, rel=1e-3)
         assert lr0 == pytest.approx(0.003 / 10.0, rel=1e-3)
         assert lr_end < lr0
+
+
+class TestSecondConfigs:
+    @pytest.mark.parametrize("rel", [
+        "second/car/car.fhd.config", "second/all.fhd.config",
+        "building/asbuilt_pillars.config",
+        "building/asbuilt_pillars_tiny.config"])
+    def test_parse_and_build(self, rel):
+        from automatic_as_built_reconstruction_tpu.builder import (
+            second_builder as sb)
+        cfg = builder.load_config(CONFIG_DIR / rel)
+        m = cfg.model.second
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        model, mcfg, fmap = sb.build(m, gen, assigner)
+        assert mcfg.num_class == len(assigner.classes)
+        if "fhd" in rel:
+            assert mcfg.middle_name == "SpMiddleFHD"
+            assert mcfg.middle_num_filters == (16, 32, 64, 64)
+            assert mcfg.middle_xy_strides == (2, 2, 2, 1)
+            assert fmap == (1, 200, 176)
