@@ -18,12 +18,13 @@ class PFNLayer(nn.Module):
 
     units: int
     last_layer: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, mask, *, train: bool):
-        x = nn.Dense(self.units, use_bias=False)(inputs)
+        x = nn.Dense(self.units, use_bias=False, dtype=self.dtype)(inputs)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, dtype=self.dtype)(x)
         x = nn.relu(x) * mask
         x_max = jnp.max(x, axis=2, keepdims=True)
         if self.last_layer:
@@ -44,6 +45,7 @@ class PillarFeatureNet(nn.Module):
     with_distance: bool = False
     voxel_size: Tuple[float, float] = (0.2, 0.2)
     pc_range: Tuple[float, float] = (0.0, -40.0)  # (x0, y0)
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, *, train: bool = False):
@@ -69,29 +71,45 @@ class PillarFeatureNet(nn.Module):
         x = jnp.concatenate(features, axis=-1) * mask
 
         n = len(self.num_filters)
+        x = x.astype(self.dtype)
+        mask = mask.astype(self.dtype)
         for i, units in enumerate(self.num_filters):
-            x = PFNLayer(units, last_layer=(i == n - 1))(x, mask, train=train)
+            x = PFNLayer(units, last_layer=(i == n - 1),
+                         dtype=self.dtype)(x, mask, train=train)
         return x  # [B, V, F]
 
 
 class PointPillarsScatter(nn.Module):
     """Scatter pillar features into a dense BEV canvas [B, H, W, F].
 
-    Pure XLA scatter on linearized (y*W + x) indices; padded pillars
-    (coords == -1) are routed to a dump row and sliced off.
+    Two lowerings:
+    - XLA scatter on linearized (y*W + x) indices (any pillar order).
+    - ``sorted_pallas``: the Pallas one-hot-matmul kernel
+      (ops.pallas.pillar_scatter) — ~1.8x faster on TPU, requires pillars
+      in ascending key order (the device voxelizer's key-order mode).
     """
 
     output_shape: Tuple[int, int]  # (H, W) = (ny, nx)
     num_input_features: int = 64
+    sorted_pallas: bool = False
 
     @nn.compact
     def __call__(self, voxel_features, coords, *, train: bool = False):
         """voxel_features [B, V, F], coords [B, V, 3] (z, y, x)."""
+        import jax
+
         B, V, F = voxel_features.shape
         H, W = self.output_shape
         valid = coords[..., 1] >= 0
         lin = coords[..., 1] * W + coords[..., 2]  # [B, V]
         lin = jnp.where(valid, lin, H * W)  # dump slot
+        if self.sorted_pallas:
+            from ..ops.pallas import pillar_scatter as ps
+            canvas = jax.vmap(
+                lambda f, l: ps.scatter_sorted_to_canvas(f, l, hw=H * W))(
+                jnp.where(valid[..., None], voxel_features, 0.0),
+                lin.astype(jnp.int32))
+            return canvas.reshape(B, H, W, F)
         canvas = jnp.zeros((B, H * W + 1, F), voxel_features.dtype)
         bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, V))
         canvas = canvas.at[bidx, lin].set(

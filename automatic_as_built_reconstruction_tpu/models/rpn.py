@@ -19,19 +19,21 @@ class ConvBlock(nn.Module):
     filters: int
     layers: int
     stride: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, dtype=self.dtype)(x)
         x = nn.relu(x)
         for _ in range(self.layers):
             x = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False)(x)
+                        use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3)(x)
+                             epsilon=1e-3, dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -39,21 +41,22 @@ class ConvBlock(nn.Module):
 class Upsample(nn.Module):
     filters: int
     stride: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         if self.stride >= 1:
             s = int(round(self.stride))
             x = nn.ConvTranspose(self.filters, (s, s), strides=(s, s),
-                                 use_bias=False)(x)
+                                 use_bias=False, dtype=self.dtype)(x)
         else:
             # fractional "upsample" = downsample conv (lineage supports
             # upsample_strides < 1 expressed as 1/int)
             inv = int(round(1 / self.stride))
             x = nn.Conv(self.filters, (inv, inv), strides=(inv, inv),
-                        use_bias=False)(x)
+                        use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -71,6 +74,7 @@ class RPN(nn.Module):
     use_direction_classifier: bool = True
     num_direction_bins: int = 2
     encode_background_as_zeros: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -78,9 +82,10 @@ class RPN(nn.Module):
         ups = []
         for i, (n, s, f) in enumerate(zip(self.layer_nums, self.layer_strides,
                                           self.num_filters)):
-            x = ConvBlock(f, n, s)(x, train=train)
+            x = ConvBlock(f, n, s, dtype=self.dtype)(x, train=train)
             ups.append(Upsample(self.num_upsample_filters[i],
-                                self.upsample_strides[i])(x, train=train))
+                                self.upsample_strides[i],
+                                dtype=self.dtype)(x, train=train))
         x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
 
         if self.encode_background_as_zeros:
@@ -88,11 +93,12 @@ class RPN(nn.Module):
         else:
             num_cls = self.num_anchor_per_loc * (self.num_class + 1)
         box_preds = nn.Conv(self.num_anchor_per_loc * self.box_code_size,
-                            (1, 1), name="conv_box")(x)
-        cls_preds = nn.Conv(num_cls, (1, 1), name="conv_cls")(x)
+                            (1, 1), name="conv_box", dtype=self.dtype)(x)
+        cls_preds = nn.Conv(num_cls, (1, 1), name="conv_cls",
+                            dtype=self.dtype)(x)
         ret = {"box_preds": box_preds, "cls_preds": cls_preds}
         if self.use_direction_classifier:
             ret["dir_cls_preds"] = nn.Conv(
                 self.num_anchor_per_loc * self.num_direction_bins, (1, 1),
-                name="conv_dir_cls")(x)
+                name="conv_dir_cls", dtype=self.dtype)(x)
         return ret

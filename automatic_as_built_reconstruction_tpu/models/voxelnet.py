@@ -88,6 +88,10 @@ class VoxelNetConfig:
     smooth_l1_sigma: float = 3.0
     code_weights: Optional[Tuple[float, ...]] = None
     loss_norm_type: str = "NormByNumPositives"
+    # performance
+    compute_dtype: str = "float32"        # "bfloat16" for MXU-rate convs
+    pillar_scatter_sorted: bool = False   # pillars arrive key-sorted ->
+                                          # Pallas one-hot-matmul scatter
     # post-processing
     nms_class_agnostic: bool = False
     use_rotate_nms: bool = True
@@ -115,7 +119,10 @@ class VoxelNet(nn.Module):
                           num_filters=cfg.vfe_num_filters,
                           with_distance=cfg.with_distance,
                           voxel_size=cfg.voxel_size[:2],
-                          pc_range=cfg.pc_range[:2])
+                          pc_range=cfg.pc_range[:2],
+                          dtype=(jnp.bfloat16
+                                 if cfg.compute_dtype == "bfloat16"
+                                 else jnp.float32))
         elif cfg.vfe_name == "VoxelFeatureExtractor":
             vfe = vfe_cls(num_input_features=cfg.num_input_features,
                           num_filters=cfg.vfe_num_filters,
@@ -127,7 +134,8 @@ class VoxelNet(nn.Module):
         if cfg.middle_name == "PointPillarsScatter":
             middle = PointPillarsScatter(
                 output_shape=cfg.bev_shape,
-                num_input_features=cfg.vfe_num_filters[-1])
+                num_input_features=cfg.vfe_num_filters[-1],
+                sorted_pallas=cfg.pillar_scatter_sorted)
             spatial = middle(voxel_features, coords, train=train)
         else:
             middle_cls = MIDDLE_REGISTRY[cfg.middle_name]
@@ -141,6 +149,8 @@ class VoxelNet(nn.Module):
                 xy_strides=cfg.middle_xy_strides)
             spatial = middle(voxel_features, coords, train=train)
 
+        if cfg.compute_dtype == "bfloat16":
+            spatial = spatial.astype(jnp.bfloat16)
         rpn = RPN(layer_nums=cfg.rpn_layer_nums,
                   layer_strides=cfg.rpn_layer_strides,
                   num_filters=cfg.rpn_num_filters,
@@ -151,8 +161,11 @@ class VoxelNet(nn.Module):
                   box_code_size=cfg.box_code_size,
                   use_direction_classifier=cfg.use_direction_classifier,
                   num_direction_bins=cfg.num_direction_bins,
-                  encode_background_as_zeros=cfg.encode_background_as_zeros)
-        return rpn(spatial, train=train)
+                  encode_background_as_zeros=cfg.encode_background_as_zeros,
+                  dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else jnp.float32))
+        preds = rpn(spatial, train=train)
+        return {k: v.astype(jnp.float32) for k, v in preds.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -108,11 +108,11 @@ def voxelize(points: jax.Array,
     c, in_range = _cell_coords(points, voxel_size, pc_range, grid_size)
     valid = in_range & (jnp.arange(P) < num_valid)
     key = (c[:, 2] * gy + c[:, 1]) * gx + c[:, 0]
+    V, T = max_voxels, max_points
 
     order, svalid, first, seg_id, rank = _sorted_segments(key, valid)
     slots = _voxel_slots(order, first, seg_id, svalid, first_appearance)
 
-    V, T = max_voxels, max_points
     pt_ok = svalid & (slots < V) & (rank < T)
     pts_sorted = points[order]
     c_sorted = c[order]

@@ -191,3 +191,45 @@ class TestNmsParity:
                                         pre_max_size=8, post_max_size=8)
         kept = np.asarray(idx)[np.asarray(valid)]
         np.testing.assert_array_equal(kept, [3])
+
+
+class TestVoxelizeFastPath:
+    def test_keyorder_path_matches_content(self):
+        """first_appearance=False: same voxel set/contents, key order."""
+        rng = np.random.default_rng(9)
+        pts = np.concatenate([
+            rng.uniform(-1, 71, (2000, 1)), rng.uniform(-41, 41, (2000, 1)),
+            rng.uniform(-3.5, 1.5, (2000, 1)), rng.random((2000, 1))],
+            axis=1).astype(np.float32)
+        vs, pr = (0.2, 0.2, 0.4), (0, -40, -3, 70.4, 40, 1)
+        gen = voxelize.VoxelGenerator(vs, pr, 5, 4000)
+        v_np, c_np, n_np = gen.generate(pts)
+        res = voxelize_jax.voxelize(
+            jnp.asarray(pts), jnp.int32(len(pts)), voxel_size=vs, pc_range=pr,
+            grid_size=tuple(gen.grid_size), max_points=5, max_voxels=4000,
+            first_appearance=False)
+        nv = int(res.num_voxels)
+        assert nv == len(v_np)
+        # match voxels by coordinate key
+        def keyed(coords):
+            return coords[:, 0] * 10_000_00 + coords[:, 1] * 1000 + coords[:, 2]
+        k_ref = keyed(c_np.astype(np.int64))
+        k_jax = keyed(np.asarray(res.coords[:nv]).astype(np.int64))
+        order_ref, order_jax = np.argsort(k_ref), np.argsort(k_jax)
+        np.testing.assert_array_equal(k_ref[order_ref], k_jax[order_jax])
+        np.testing.assert_array_equal(n_np[order_ref],
+                                      np.asarray(res.num_points[:nv])[order_jax])
+        np.testing.assert_array_equal(v_np[order_ref],
+                                      np.asarray(res.voxels[:nv])[order_jax])
+        # key order => coords keys ascending
+        assert (np.diff(k_jax) > 0).all()
+
+    def test_keyorder_padded_and_empty(self):
+        vs, pr = (0.5, 0.5, 0.5), (0, 0, 0, 8, 8, 8)
+        res = voxelize_jax.voxelize(
+            jnp.zeros((16, 4)), jnp.int32(0), voxel_size=vs, pc_range=pr,
+            grid_size=(16, 16, 16), max_points=4, max_voxels=8,
+            first_appearance=False)
+        assert int(res.num_voxels) == 0
+        np.testing.assert_array_equal(np.asarray(res.coords), -1)
+        np.testing.assert_array_equal(np.asarray(res.voxels), 0)
