@@ -266,7 +266,17 @@ def points_in_rbbox(points: np.ndarray, rbbox: np.ndarray,
 
     Implemented by inverse-transforming points into each box frame (exact and
     fully vectorized; the reference uses surface-equation half-space tests).
+    f32 inputs dispatch to the native C++ kernel.
     """
+    if (np.asarray(points).dtype == np.float32
+            and np.asarray(rbbox).dtype == np.float32
+            and np.allclose(origin, (0.5, 0.5, 0.0))):
+        try:
+            from .. import native
+            if native.AVAILABLE:
+                return native.points_in_rbbox(points, np.atleast_2d(rbbox))
+        except ImportError:
+            pass
     points = np.asarray(points)[:, :3]
     rbbox = np.atleast_2d(rbbox)
     centers = rbbox[:, :3]

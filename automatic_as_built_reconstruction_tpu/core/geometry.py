@@ -201,8 +201,16 @@ def box_collision_test(boxes: np.ndarray, qboxes: np.ndarray) -> np.ndarray:
 
     Separating-axis test over both boxes' edge normals — exact for convex
     quads and fully vectorized (the lineage used corner-in-box + segment
-    intersection loops).
+    intersection loops).  f32 inputs dispatch to the native C++ kernel.
     """
+    if (np.asarray(boxes).dtype == np.float32
+            and np.asarray(qboxes).dtype == np.float32):
+        try:
+            from .. import native
+            if native.AVAILABLE:
+                return native.box_collision_test(boxes, qboxes)
+        except ImportError:
+            pass
     ca = _box_to_corners(np.asarray(boxes, np.float64))    # [N,4,2]
     cb = _box_to_corners(np.asarray(qboxes, np.float64))   # [K,4,2]
 

@@ -144,6 +144,16 @@ class VoxelGenerator:
         return np.round((pr[3:] - pr[:3]) / vs).astype(np.int64)
 
     def generate(self, points: np.ndarray, max_voxels: int | None = None):
+        mv = max_voxels or self.max_voxels
+        if points.dtype == np.float32:
+            try:
+                from .. import native
+                if native.AVAILABLE:
+                    return native.points_to_voxel(
+                        points, self.voxel_size, self.point_cloud_range,
+                        self.max_num_points, mv)
+            except ImportError:
+                pass
         return points_to_voxel_fast(
             points, self.voxel_size, self.point_cloud_range,
-            self.max_num_points, max_voxels or self.max_voxels)
+            self.max_num_points, mv)

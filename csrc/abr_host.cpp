@@ -1,0 +1,245 @@
+// abr_host — native host-side kernels for the as-built reconstruction stack.
+//
+// TPU-native split: device math lives in XLA/Pallas; the *host* input
+// pipeline (voxelization, box membership, collision tests, rotated IoU,
+// NMS) is native C++ — the role numba-jitted kernels play in the reference
+// [ref: second/core/point_cloud/point_cloud_ops.py, geometry.py,
+// non_max_suppression/nms_cpu.py — lineage-expected, UNVERIFIED].
+//
+// Plain C ABI, consumed from Python via ctypes (pybind11 is not available
+// in this image).  All float buffers are float32, contiguous, row-major.
+//
+// Build: make -C csrc     (produces libabr_host.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FCFS hard voxelization — bit-identical to core.voxelize.points_to_voxel.
+//
+// points:   [P, C] (x, y, z first)
+// voxels:   [max_voxels, max_points, C]  (pre-zeroed by caller or here)
+// coords:   [max_voxels, 3] int32 (z, y, x)
+// num_points_per_voxel: [max_voxels] int32
+// returns the number of voxels produced.
+int abr_points_to_voxel(const float* points, int64_t P, int64_t C,
+                        const float* voxel_size, const float* coors_range,
+                        int64_t max_points, int64_t max_voxels,
+                        float* voxels, int32_t* coords,
+                        int32_t* num_points_per_voxel) {
+  const double vx = voxel_size[0], vy = voxel_size[1], vz = voxel_size[2];
+  const double x0 = coors_range[0], y0 = coors_range[1], z0 = coors_range[2];
+  const int64_t gx = (int64_t)std::round((coors_range[3] - x0) / vx);
+  const int64_t gy = (int64_t)std::round((coors_range[4] - y0) / vy);
+  const int64_t gz = (int64_t)std::round((coors_range[5] - z0) / vz);
+
+  std::memset(voxels, 0, sizeof(float) * max_voxels * max_points * C);
+  std::memset(num_points_per_voxel, 0, sizeof(int32_t) * max_voxels);
+
+  std::unordered_map<int64_t, int32_t> key_to_voxel;
+  key_to_voxel.reserve((size_t)std::min<int64_t>(P, max_voxels) * 2);
+  int32_t nv = 0;
+  for (int64_t i = 0; i < P; ++i) {
+    const float* p = points + i * C;
+    const int64_t cx = (int64_t)std::floor((p[0] - x0) / vx);
+    const int64_t cy = (int64_t)std::floor((p[1] - y0) / vy);
+    const int64_t cz = (int64_t)std::floor((p[2] - z0) / vz);
+    if (cx < 0 || cx >= gx || cy < 0 || cy >= gy || cz < 0 || cz >= gz)
+      continue;
+    const int64_t key = (cz * gy + cy) * gx + cx;
+    auto it = key_to_voxel.find(key);
+    int32_t v;
+    if (it == key_to_voxel.end()) {
+      if (nv >= max_voxels) continue;
+      v = nv++;
+      key_to_voxel.emplace(key, v);
+      coords[v * 3 + 0] = (int32_t)cz;
+      coords[v * 3 + 1] = (int32_t)cy;
+      coords[v * 3 + 2] = (int32_t)cx;
+    } else {
+      v = it->second;
+    }
+    int32_t& n = num_points_per_voxel[v];
+    if (n < max_points) {
+      std::memcpy(voxels + (v * max_points + n) * C, p, sizeof(float) * C);
+      ++n;
+    }
+  }
+  return nv;
+}
+
+// ---------------------------------------------------------------------------
+// points_in_rbbox: [P,>=3] points vs [N,7] (x,y,z,w,l,h,yaw; bottom-center)
+// out: [P, N] uint8
+void abr_points_in_rbbox(const float* points, int64_t P, int64_t C,
+                         const float* boxes, int64_t N, uint8_t* out) {
+  for (int64_t j = 0; j < N; ++j) {
+    const float* b = boxes + j * 7;
+    const double cx = b[0], cy = b[1], cz = b[2] + 0.5 * b[5];
+    const double hw = 0.5 * b[3], hl = 0.5 * b[4], hh = 0.5 * b[5];
+    const double c = std::cos((double)b[6]), s = std::sin((double)b[6]);
+    for (int64_t i = 0; i < P; ++i) {
+      const float* p = points + i * C;
+      const double dx = p[0] - cx, dy = p[1] - cy, dz = p[2] - cz;
+      const double lx = dx * c + dy * s;
+      const double ly = -dx * s + dy * c;
+      out[i * N + j] = (std::fabs(lx) <= hw && std::fabs(ly) <= hl &&
+                        std::fabs(dz) <= hh)
+                           ? 1
+                           : 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// BEV rotated-box helpers
+static inline void box_corners(const float* b, double* cx, double* cy) {
+  // b: (x, y, w, l, yaw); CCW corners
+  const double c = std::cos((double)b[4]), s = std::sin((double)b[4]);
+  const double hw = 0.5 * b[2], hl = 0.5 * b[3];
+  const double ox[4] = {-hw, hw, hw, -hw};
+  const double oy[4] = {-hl, -hl, hl, hl};
+  for (int k = 0; k < 4; ++k) {
+    cx[k] = ox[k] * c - oy[k] * s + b[0];
+    cy[k] = ox[k] * s + oy[k] * c + b[1];
+  }
+}
+
+// SAT collision for a pair of BEV boxes (touching counts as collision)
+static bool sat_collide(const double* ax, const double* ay, const double* bx,
+                        const double* by) {
+  const double* xs[2] = {ax, bx};
+  const double* ys[2] = {ay, by};
+  for (int poly = 0; poly < 2; ++poly) {
+    for (int e = 0; e < 4; ++e) {
+      const int e2 = (e + 1) & 3;
+      const double nx = -(ys[poly][e2] - ys[poly][e]);
+      const double ny = xs[poly][e2] - xs[poly][e];
+      double amin = 1e300, amax = -1e300, bmin = 1e300, bmax = -1e300;
+      for (int k = 0; k < 4; ++k) {
+        const double pa = ax[k] * nx + ay[k] * ny;
+        const double pb = bx[k] * nx + by[k] * ny;
+        amin = std::min(amin, pa); amax = std::max(amax, pa);
+        bmin = std::min(bmin, pb); bmax = std::max(bmax, pb);
+      }
+      if (amax < bmin - 1e-12 || bmax < amin - 1e-12) return false;
+    }
+  }
+  return true;
+}
+
+// boxes [N,5] vs qboxes [K,5] -> out [N,K] uint8
+void abr_box_collision_test(const float* boxes, int64_t N,
+                            const float* qboxes, int64_t K, uint8_t* out) {
+  std::vector<double> acx(N * 4), acy(N * 4), bcx(K * 4), bcy(K * 4);
+  for (int64_t i = 0; i < N; ++i)
+    box_corners(boxes + i * 5, &acx[i * 4], &acy[i * 4]);
+  for (int64_t j = 0; j < K; ++j)
+    box_corners(qboxes + j * 5, &bcx[j * 4], &bcy[j * 4]);
+  for (int64_t i = 0; i < N; ++i)
+    for (int64_t j = 0; j < K; ++j)
+      out[i * K + j] = sat_collide(&acx[i * 4], &acy[i * 4], &bcx[j * 4],
+                                   &bcy[j * 4])
+                           ? 1
+                           : 0;
+}
+
+// ---------------------------------------------------------------------------
+// rotated intersection area via Sutherland–Hodgman clipping
+static double clip_area(const double* ax, const double* ay, const double* bx,
+                        const double* by) {
+  double px[16], py[16];
+  int n = 4;
+  for (int k = 0; k < 4; ++k) { px[k] = ax[k]; py[k] = ay[k]; }
+  double qx[16], qy[16];
+  for (int e = 0; e < 4 && n > 0; ++e) {
+    const int e2 = (e + 1) & 3;
+    const double ex = bx[e2] - bx[e], ey = by[e2] - by[e];
+    int m = 0;
+    for (int k = 0; k < n; ++k) {
+      const int k2 = (k + 1) % n;
+      const double s1 = ex * (py[k] - by[e]) - ey * (px[k] - bx[e]);
+      const double s2 = ex * (py[k2] - by[e]) - ey * (px[k2] - bx[e]);
+      if (s1 >= 0) { qx[m] = px[k]; qy[m] = py[k]; ++m; }
+      if ((s1 >= 0) != (s2 >= 0)) {
+        const double t = s1 / (s1 - s2);
+        qx[m] = px[k] + t * (px[k2] - px[k]);
+        qy[m] = py[k] + t * (py[k2] - py[k]);
+        ++m;
+      }
+    }
+    n = m;
+    for (int k = 0; k < n; ++k) { px[k] = qx[k]; py[k] = qy[k]; }
+  }
+  if (n < 3) return 0.0;
+  double area = 0.0;
+  for (int k = 0; k < n; ++k) {
+    const int k2 = (k + 1) % n;
+    area += px[k] * py[k2] - px[k2] * py[k];
+  }
+  return std::max(0.5 * area, 0.0);
+}
+
+// boxes [N,5] x qboxes [K,5] -> iou [N,K] float32 (criterion -1/0/1)
+void abr_rotate_iou(const float* boxes, int64_t N, const float* qboxes,
+                    int64_t K, int criterion, float* out) {
+  std::vector<double> acx(N * 4), acy(N * 4), bcx(K * 4), bcy(K * 4);
+  for (int64_t i = 0; i < N; ++i)
+    box_corners(boxes + i * 5, &acx[i * 4], &acy[i * 4]);
+  for (int64_t j = 0; j < K; ++j)
+    box_corners(qboxes + j * 5, &bcx[j * 4], &bcy[j * 4]);
+  for (int64_t i = 0; i < N; ++i) {
+    const double area_a = (double)boxes[i * 5 + 2] * boxes[i * 5 + 3];
+    for (int64_t j = 0; j < K; ++j) {
+      const double area_b = (double)qboxes[j * 5 + 2] * qboxes[j * 5 + 3];
+      const double inter = clip_area(&acx[i * 4], &acy[i * 4], &bcx[j * 4],
+                                     &bcy[j * 4]);
+      double denom;
+      if (criterion == -1) denom = area_a + area_b - inter;
+      else if (criterion == 0) denom = area_a;
+      else denom = area_b;
+      out[i * K + j] = (float)(denom > 0 ? inter / std::max(denom, 1e-12)
+                                         : 0.0);
+    }
+  }
+}
+
+// greedy rotated NMS: boxes [N,5], scores [N]; returns #kept, indices in
+// keep_out (caller-allocated, size >= N), descending score order.
+int abr_rotate_nms(const float* boxes, const float* scores, int64_t N,
+                   float iou_threshold, int64_t post_max_size,
+                   int64_t* keep_out) {
+  std::vector<int64_t> order(N);
+  for (int64_t i = 0; i < N; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return scores[a] > scores[b];
+  });
+  std::vector<double> cx(N * 4), cy(N * 4);
+  std::vector<double> areas(N);
+  for (int64_t i = 0; i < N; ++i) {
+    box_corners(boxes + order[i] * 5, &cx[i * 4], &cy[i * 4]);
+    areas[i] = (double)boxes[order[i] * 5 + 2] * boxes[order[i] * 5 + 3];
+  }
+  std::vector<uint8_t> suppressed(N, 0);
+  int kept = 0;
+  for (int64_t i = 0; i < N && kept < post_max_size; ++i) {
+    if (suppressed[i]) continue;
+    keep_out[kept++] = order[i];
+    for (int64_t j = i + 1; j < N; ++j) {
+      if (suppressed[j]) continue;
+      const double inter = clip_area(&cx[i * 4], &cy[i * 4], &cx[j * 4],
+                                     &cy[j * 4]);
+      const double uni = areas[i] + areas[j] - inter;
+      if (uni > 0 && inter / uni > iou_threshold) suppressed[j] = 1;
+    }
+  }
+  return kept;
+}
+
+}  // extern "C"

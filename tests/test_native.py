@@ -1,0 +1,77 @@
+"""Native C++ host library vs NumPy oracles."""
+import numpy as np
+import pytest
+
+from automatic_as_built_reconstruction_tpu import native
+from automatic_as_built_reconstruction_tpu.core import (
+    box_ops, geometry, nms as nms_np, voxelize)
+
+pytestmark = pytest.mark.skipif(not native.AVAILABLE,
+                                reason="libabr_host.so not built")
+
+
+class TestNativeVoxelize:
+    @pytest.mark.parametrize("max_points,max_voxels", [(35, 20000), (3, 50)])
+    def test_bit_identical(self, max_points, max_voxels):
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            rng.uniform(-1, 71, (3000, 1)), rng.uniform(-41, 41, (3000, 1)),
+            rng.uniform(-3.5, 1.5, (3000, 1)), rng.random((3000, 1))],
+            axis=1).astype(np.float32)
+        vs, pr = (0.2, 0.2, 0.4), (0, -40, -3, 70.4, 40, 1)
+        v1, c1, n1 = voxelize.points_to_voxel(pts, vs, pr, max_points,
+                                              max_voxels)
+        v2, c2, n2 = native.points_to_voxel(pts, vs, pr, max_points,
+                                            max_voxels)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(v1, v2)
+
+
+class TestNativeGeometry:
+    def test_points_in_rbbox(self):
+        rng = np.random.default_rng(1)
+        boxes = np.stack([
+            rng.uniform(-5, 5, 8), rng.uniform(-5, 5, 8),
+            rng.uniform(-2, 0, 8), rng.uniform(1, 3, 8),
+            rng.uniform(1, 3, 8), rng.uniform(1, 2, 8),
+            rng.uniform(-np.pi, np.pi, 8)], axis=1).astype(np.float32)
+        pts = rng.uniform(-6, 6, (500, 4)).astype(np.float32)
+        ref = box_ops.points_in_rbbox(pts, boxes)
+        got = native.points_in_rbbox(pts, boxes)
+        assert (got == ref).mean() > 0.999  # fp32-vs-fp64 boundary ties
+
+    def test_collision(self):
+        rng = np.random.default_rng(2)
+        a = np.stack([rng.uniform(-4, 4, 12), rng.uniform(-4, 4, 12),
+                      rng.uniform(0.5, 3, 12), rng.uniform(0.5, 3, 12),
+                      rng.uniform(-np.pi, np.pi, 12)], 1).astype(np.float32)
+        ref = geometry.box_collision_test(a.astype(np.float64),
+                                          a.astype(np.float64))
+        got = native.box_collision_test(a, a)
+        assert (got == ref).mean() > 0.99
+
+    def test_rotate_iou(self):
+        rng = np.random.default_rng(3)
+        a = np.stack([rng.uniform(-5, 5, 10), rng.uniform(-5, 5, 10),
+                      rng.uniform(0.5, 4, 10), rng.uniform(0.5, 4, 10),
+                      rng.uniform(-np.pi, np.pi, 10)], 1).astype(np.float32)
+        b = np.stack([rng.uniform(-5, 5, 7), rng.uniform(-5, 5, 7),
+                      rng.uniform(0.5, 4, 7), rng.uniform(0.5, 4, 7),
+                      rng.uniform(-np.pi, np.pi, 7)], 1).astype(np.float32)
+        ref = geometry.rotate_iou_matrix(a.astype(np.float64),
+                                         b.astype(np.float64))
+        got = native.rotate_iou(a, b)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_rotate_nms(self):
+        rng = np.random.default_rng(4)
+        n = 50
+        base = np.array([0.0, 0.0, 2.0, 4.0, 0.4])
+        boxes = (base[None] + np.concatenate([
+            rng.normal(0, 1.5, (n, 2)), rng.normal(0, 0.2, (n, 2)),
+            rng.normal(0, 0.2, (n, 1))], 1)).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        ref = nms_np.rotate_nms(boxes, scores, 0.3)
+        got = native.rotate_nms(boxes, scores, 0.3)
+        np.testing.assert_array_equal(got, ref)
