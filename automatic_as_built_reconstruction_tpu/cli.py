@@ -34,6 +34,7 @@ def main(argv=None):
     p_eval.add_argument("--model_dir", required=True)
     p_eval.add_argument("--ckpt_step", type=int, default=None)
     p_eval.add_argument("--output_dir", default=None)
+    p_eval.add_argument("--measure_time", action="store_true")
 
     p_bprep = sub.add_parser("building_data_prep",
                              help="generate synthetic building scans + infos"
@@ -59,7 +60,8 @@ def main(argv=None):
         from .train.train import evaluate
         result = evaluate(args.config_path, args.model_dir,
                           ckpt_step=args.ckpt_step,
-                          output_dir=args.output_dir)
+                          output_dir=args.output_dir,
+                          measure_time=args.measure_time)
         if "result_str" in result:
             print(result["result_str"])
         else:

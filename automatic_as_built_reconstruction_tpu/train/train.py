@@ -54,7 +54,8 @@ def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def init_state(bundle: Bundle, rng_seed: int = 0, example=None):
+def init_state(bundle: Bundle, rng_seed: int = 0, example=None,
+               total_steps: int | None = None):
     """Initialize {params, batch_stats, opt_state, step} from one example."""
     model = bundle.model
     if example is None:
@@ -68,7 +69,8 @@ def init_state(bundle: Bundle, rng_seed: int = 0, example=None):
     variables = model.init(jax.random.key(rng_seed), example["voxels"],
                            example["num_points"], example["coordinates"],
                            train=True)
-    total_steps = int(bundle.config.train_config.steps) or 100000
+    if total_steps is None:
+        total_steps = int(bundle.config.train_config.steps) or 100000
     tx = optimizer_builder.build(bundle.config.train_config.optimizer,
                                  total_steps)
     state = {
@@ -168,7 +170,8 @@ def train(config_path, model_dir, *, resume: bool = True,
     logger = MetricsLogger(model_dir)
 
     _, loader = bundle.input_reader(training=True, seed=seed)
-    state, tx = init_state(bundle, rng_seed=seed)
+    total_steps = max_steps or int(bundle.config.train_config.steps) or 1000
+    state, tx = init_state(bundle, rng_seed=seed, total_steps=total_steps)
     mgr = ckpt_mod.CheckpointManager(model_dir)
     start_step = 0
     if resume:
@@ -179,7 +182,6 @@ def train(config_path, model_dir, *, resume: bool = True,
             logger.text(f"resumed from checkpoint at step {start_step}")
 
     train_step = make_train_step(bundle, tx)
-    total_steps = max_steps or int(bundle.config.train_config.steps) or 1000
     save_secs = int(bundle.config.train_config.save_checkpoints_secs) or 1800
     steps_per_eval = int(bundle.config.train_config.steps_per_eval) or 0
 
@@ -225,8 +227,13 @@ def train(config_path, model_dir, *, resume: bool = True,
 
 def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
              bundle: Optional[Bundle] = None, state=None,
-             output_dir=None):
-    """Run eval split through predict + the dataset's official eval."""
+             output_dir=None, measure_time: bool = False):
+    """Run eval split through predict + the dataset's official eval.
+
+    ``measure_time`` reports per-stage wall time (host prep+feed, device
+    network+predict, host convert) like the reference's ``--measure_time``
+    [ref: second/pytorch/train.py].
+    """
     bundle = bundle or Bundle(config_path)
     prep_ds, loader = bundle.input_reader(training=False)
     if state is None:
@@ -239,11 +246,16 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
             print("WARNING: no checkpoint found; evaluating random weights")
     predict_fn = make_predict_fn(bundle)
 
+    timers = {"host_feed": 0.0, "device": 0.0, "convert": 0.0}
     detections = []
+    nb = 0
+    t0 = time.perf_counter()
     for batch in loader:
         example = _to_device(batching.device_example(batch))
+        t1 = time.perf_counter()
         out = predict_fn(state["params"], state["batch_stats"], example)
         out = jax.device_get(out)
+        t2 = time.perf_counter()
         for b in range(out["box3d_lidar"].shape[0]):
             valid = out["valid"][b]
             detections.append({
@@ -252,6 +264,16 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
                 "label_preds": out["label_preds"][b][valid],
                 "metadata": batch["metadata"][b],
             })
+        t3 = time.perf_counter()
+        timers["host_feed"] += t1 - t0
+        timers["device"] += t2 - t1
+        timers["convert"] += t3 - t2
+        nb += 1
+        t0 = time.perf_counter()
+    if measure_time and nb:
+        for k, v in timers.items():
+            print(f"[measure_time] {k}: {v / nb * 1000:.1f} ms/batch "
+                  f"(first batch includes compile)")
     dataset = prep_ds.dataset
     n = min(len(detections), len(dataset))
     result = dataset.evaluation(detections[:n], output_dir=output_dir)
