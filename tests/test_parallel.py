@@ -131,3 +131,34 @@ class TestPodInference:
         np.testing.assert_array_equal(out1["valid"], out8["valid"])
         dets = pod.detections_list(out8)
         assert len(dets) == B
+
+
+class TestShardedVoxelize:
+    def test_matches_single_device(self):
+        from automatic_as_built_reconstruction_tpu.parallel import (
+            sharded_voxelize as sv)
+        rng = np.random.default_rng(3)
+        D, Pl = 8, 4000
+        pts = np.concatenate([
+            rng.uniform(0, 16, (D * Pl, 1)), rng.uniform(0, 16, (D * Pl, 1)),
+            rng.uniform(0, 3, (D * Pl, 1)), rng.random((D * Pl, 1))],
+            axis=1).astype(np.float32)
+        nv = np.full((D,), Pl, np.int32)
+        nv[3] = 1000  # one shard partially padded
+        mesh = data_parallel_mesh(8)
+        fn = sv.make_sharded_mean_canvas(
+            mesh, voxel_size=(0.25, 0.25, 4.0), pc_range=(0, 0, 0, 16, 16, 4),
+            grid_hw=(64, 64))
+        mean8, cnt8 = fn(jnp.asarray(pts), jnp.asarray(nv))
+        # oracle: mask each shard's tail, single device
+        mask = np.zeros(D * Pl, bool)
+        for d in range(D):
+            mask[d * Pl : d * Pl + nv[d]] = True
+        mean1, cnt1 = sv.single_device_mean_canvas(
+            jnp.asarray(pts[mask]), jnp.int32(mask.sum()),
+            voxel_size=(0.25, 0.25, 4.0), pc_range=(0, 0, 0, 16, 16, 4),
+            grid_hw=(64, 64))
+        np.testing.assert_array_equal(np.asarray(cnt8), np.asarray(cnt1))
+        np.testing.assert_allclose(np.asarray(mean8), np.asarray(mean1),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(cnt8.sum()) > 0
