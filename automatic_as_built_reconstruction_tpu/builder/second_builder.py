@@ -90,6 +90,8 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         smooth_l1_sigma=loss.smooth_l1_sigma,
         code_weights=loss.code_weights,
         loss_norm_type=_LOSS_NORM[int(model_cfg.loss_norm_type)],
+        post_center_limit_range=(tuple(model_cfg.post_center_limit_range)
+                                 or None),
         use_rotate_nms=model_cfg.use_rotate_nms,
         nms_pre_max_size=int(model_cfg.nms_pre_max_size) or 1000,
         nms_post_max_size=int(model_cfg.nms_post_max_size) or 100,

@@ -56,6 +56,7 @@ def create_groundtruth_database_from_infos(root, infos, db_info_name,
                                            points_loader) -> None:
     """Crop per-object points (box-relative) + db info pkl."""
     root = pathlib.Path(root)
+    (root / "gt_database").mkdir(parents=True, exist_ok=True)
     db_infos: dict = {}
     obj_idx = 0
     for info in infos:

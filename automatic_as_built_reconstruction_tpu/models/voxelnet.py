@@ -93,6 +93,7 @@ class VoxelNetConfig:
     pillar_scatter_sorted: bool = False   # pillars arrive key-sorted ->
                                           # Pallas one-hot-matmul scatter
     # post-processing
+    post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
     use_rotate_nms: bool = True
     nms_pre_max_size: int = 1000
@@ -284,6 +285,16 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
 
     if anchors_mask is not None:
         scores_all = jnp.where(anchors_mask[..., None], scores_all, 0.0)
+
+    if cfg.post_center_limit_range:
+        lim = cfg.post_center_limit_range
+        centers_ok = ((batch_boxes[..., 0] >= lim[0])
+                      & (batch_boxes[..., 1] >= lim[1])
+                      & (batch_boxes[..., 2] >= lim[2])
+                      & (batch_boxes[..., 0] <= lim[3])
+                      & (batch_boxes[..., 1] <= lim[4])
+                      & (batch_boxes[..., 2] <= lim[5]))
+        scores_all = jnp.where(centers_ok[..., None], scores_all, 0.0)
 
     def _per_sample(boxes, scores):
         # boxes [A,7], scores [A,C]

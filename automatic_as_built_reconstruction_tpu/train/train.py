@@ -41,6 +41,12 @@ class Bundle:
         self.model, self.model_cfg, self.feature_map_size = (
             second_builder.build(m, self.voxel_generator,
                                  self.target_assigner))
+        if self.config.train_config.enable_mixed_precision:
+            import dataclasses as _dc
+            self.model_cfg = _dc.replace(self.model_cfg,
+                                         compute_dtype="bfloat16")
+            from ..models.voxelnet import VoxelNet as _VN
+            self.model = _VN(cfg=self.model_cfg)
 
     def input_reader(self, training: bool, seed: int = 0):
         reader_cfg = (self.config.train_input_reader if training

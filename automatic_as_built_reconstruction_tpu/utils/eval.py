@@ -210,12 +210,11 @@ def _overlap_matrix(gt_anno, dt_anno, metric: int) -> np.ndarray:
     """[D, G] overlaps for metric 0=bbox(2D image) 1=bev 2=3d (camera)."""
     if metric == 0:
         return box_ops.iou_2d(dt_anno["bbox"], gt_anno["bbox"])
-    # camera frame: x right, y down, z forward; BEV plane is (x, z)
+    # camera frame: x right, y down, z forward; BEV plane is (x, z).
+    # 'dimensions' are stored (l, h, w) — l along the box z axis.
     def to_bev(a):
-        # location x,z; dims l,w (l along z? KITTI dims are h,w,l with
-        # rotation_y about camera y) -> box (x, z, w, l, -ry)
         return np.stack([a["location"][:, 0], a["location"][:, 2],
-                         a["dimensions"][:, 1], a["dimensions"][:, 0],
+                         a["dimensions"][:, 2], a["dimensions"][:, 0],
                          -a["rotation_y"]], axis=1)
 
     bev_d, bev_g = to_bev(dt_anno), to_bev(gt_anno)
@@ -228,9 +227,9 @@ def _overlap_matrix(gt_anno, dt_anno, metric: int) -> np.ndarray:
             inter2d[i, j] = geometry.rotated_box_intersection_area(
                 bev_d[i], bev_g[j])
     yd1 = dt_anno["location"][:, 1]
-    yd0 = yd1 - dt_anno["dimensions"][:, 0]
+    yd0 = yd1 - dt_anno["dimensions"][:, 1]
     yg1 = gt_anno["location"][:, 1]
-    yg0 = yg1 - gt_anno["dimensions"][:, 0]
+    yg0 = yg1 - gt_anno["dimensions"][:, 1]
     hi = (np.minimum(yd1[:, None], yg1[None, :])
           - np.maximum(yd0[:, None], yg0[None, :]))
     inter3d = inter2d * np.clip(hi, 0, None)
