@@ -178,6 +178,9 @@ def train(config_path, model_dir, *, resume: bool = True,
     _, loader = bundle.input_reader(training=True, seed=seed)
     total_steps = max_steps or int(bundle.config.train_config.steps) or 1000
     state, tx = init_state(bundle, rng_seed=seed, total_steps=total_steps)
+    if not resume:
+        import shutil
+        shutil.rmtree(model_dir / "checkpoints", ignore_errors=True)
     mgr = ckpt_mod.CheckpointManager(model_dir)
     start_step = 0
     if resume:

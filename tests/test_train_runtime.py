@@ -1,0 +1,136 @@
+"""Train/eval runtime smoke test on CPU: a micro config end-to-end through
+the CLI-level train() and evaluate() functions, including checkpoint
+resume."""
+import pathlib
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from automatic_as_built_reconstruction_tpu.train import train as train_mod
+
+MICRO_CONFIG = """
+model: {
+  second: {
+    voxel_generator {
+      point_cloud_range: [0.0, 0.0, -0.2, 8.0, 8.0, 3.4]
+      voxel_size: [0.5, 0.5, 3.6]
+      max_number_of_points_per_voxel: 8
+      max_number_of_voxels: 256
+    }
+    voxel_feature_extractor: {
+      module_class_name: "PillarFeatureNet"
+      num_filters: [8]
+    }
+    middle_feature_extractor: {
+      module_class_name: "PointPillarsScatter"
+      downsample_factor: 2
+    }
+    rpn: {
+      layer_nums: [1]
+      layer_strides: [2]
+      num_filters: [8]
+      upsample_strides: [1.0]
+      num_upsample_filters: [8]
+    }
+    loss: {
+      classification_loss: { weighted_sigmoid_focal: { alpha: 0.25 gamma: 2.0 } }
+      localization_loss: { weighted_smooth_l1: { sigma: 3.0 } }
+      classification_weight: 1.0
+      localization_weight: 2.0
+    }
+    num_point_features: 4
+    encode_background_as_zeros: true
+    encode_rad_error_by_sin: true
+    use_direction_classifier: true
+    loss_norm_type: NormByNumPositives
+    use_rotate_nms: true
+    nms_pre_max_size: 64
+    nms_post_max_size: 8
+    nms_score_threshold: 0.1
+    nms_iou_threshold: 0.3
+    box_coder: { ground_box3d_coder: {} }
+    target_assigner: {
+      class_settings: {
+        class_name: "wall"
+        anchor_generator_range: {
+          sizes: [0.15, 2.0, 2.8]
+          anchor_ranges: [0.0, 0.0, 0.0, 8.0, 8.0, 0.0]
+          rotations: [0.0, 1.5707963267948966]
+          matched_threshold: 0.5
+          unmatched_threshold: 0.25
+        }
+        region_similarity_calculator: { distance_similarity: { distance_norm: 2.0 } }
+      }
+    }
+  }
+}
+train_input_reader: {
+  batch_size: 1
+  class_names: ["wall"]
+  dataset: { dataset_class_name: "BuildingDataset" }
+  preprocess: {
+    max_number_of_voxels: 256
+    shuffle_points: true
+    anchor_area_threshold: -1.0
+  }
+  num_workers: 1
+}
+train_config: {
+  optimizer: {
+    adam_optimizer: {
+      learning_rate: { constant_learning_rate: { learning_rate: 0.001 } }
+    }
+  }
+  steps: 6
+  save_checkpoints_secs: 100000
+  save_summary_steps: 2
+}
+eval_input_reader: {
+  batch_size: 1
+  class_names: ["wall"]
+  dataset: { dataset_class_name: "BuildingDataset" }
+  preprocess: {
+    max_number_of_voxels: 256
+    shuffle_points: false
+    anchor_area_threshold: -1.0
+  }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def micro_cfg_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "micro.config"
+    p.write_text(MICRO_CONFIG)
+    return p
+
+
+class TestTrainRuntime:
+    def test_train_eval_resume(self, micro_cfg_path, tmp_path):
+        model_dir = tmp_path / "run"
+        # NOTE: 8x8m range with 0.5m pillars (16x16 grid) keeps this fast
+        state = train_mod.train(micro_cfg_path, model_dir, max_steps=3,
+                                display_step=1)
+        assert int(state["step"]) == 3
+        assert (model_dir / "log.txt").exists()
+        assert (model_dir / "metrics.jsonl").exists()
+        assert (model_dir / "pipeline.config").exists()
+
+        # resume continues from the saved step
+        state2 = train_mod.train(micro_cfg_path, model_dir, max_steps=5,
+                                 display_step=1)
+        assert int(state2["step"]) == 5
+
+        result = train_mod.evaluate(micro_cfg_path, model_dir)
+        assert "mAP.bev" in result
+        assert np.isfinite(result["mAP.bev"])
+
+    def test_no_resume_flag(self, micro_cfg_path, tmp_path):
+        model_dir = tmp_path / "run2"
+        train_mod.train(micro_cfg_path, model_dir, max_steps=2,
+                        display_step=1)
+        state = train_mod.train(micro_cfg_path, model_dir, max_steps=2,
+                                display_step=1, resume=False)
+        assert int(state["step"]) == 2
