@@ -56,23 +56,21 @@ def noise_per_object(gt_boxes: np.ndarray,
         if not valid_mask[i]:
             continue
         others = np.delete(current, i, axis=0)
-        others_bev = others[:, [0, 1, 3, 4, 6]] if len(others) else None
-        accepted = None
-        for t in range(num_try):
-            cand = current[i].copy()
-            cand[:3] += loc_noises[i, t]
-            cand[6] += rot_noises[i, t]
-            if others_bev is None or len(others_bev) == 0:
-                accepted = (loc_noises[i, t], rot_noises[i, t], cand)
-                break
+        # all candidates at once: [num_try, 5] vs [K, 5] collision matrix
+        cands = np.broadcast_to(current[i], (num_try, 7)).copy()
+        cands[:, :3] += loc_noises[i]
+        cands[:, 6] += rot_noises[i]
+        if len(others):
             coll = geometry.box_collision_test(
-                cand[None, [0, 1, 3, 4, 6]], others_bev)
-            if not coll.any():
-                accepted = (loc_noises[i, t], rot_noises[i, t], cand)
-                break
-        if accepted is None:
-            continue
-        loc_n, rot_n, cand = accepted
+                cands[:, [0, 1, 3, 4, 6]].astype(current.dtype),
+                others[:, [0, 1, 3, 4, 6]])
+            ok = ~coll.any(axis=1)
+            if not ok.any():
+                continue
+            t = int(np.argmax(ok))
+        else:
+            t = 0
+        loc_n, rot_n, cand = loc_noises[i, t], rot_noises[i, t], cands[t]
         if points is not None:
             sel = point_masks[:, i]
             if sel.any():

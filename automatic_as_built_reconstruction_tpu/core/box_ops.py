@@ -65,7 +65,7 @@ def rotation_2d(points: np.ndarray, angles: np.ndarray) -> np.ndarray:
         np.stack([rot_cos, rot_sin], axis=-1),
         np.stack([-rot_sin, rot_cos], axis=-1),
     ], axis=-2)  # [N, 2, 2]
-    return np.einsum("npj,njk->npk", points, rot_mat_T)
+    return np.matmul(points, rot_mat_T)
 
 
 def rotation_3d_in_axis(points: np.ndarray, angles: np.ndarray, axis: int = 2):
@@ -94,7 +94,7 @@ def rotation_3d_in_axis(points: np.ndarray, angles: np.ndarray, axis: int = 2):
         ], axis=-2)
     else:
         raise ValueError(f"axis must be 0/1/2, got {axis}")
-    return np.einsum("npj,njk->npk", points, rot_mat_T)
+    return np.matmul(points, rot_mat_T)
 
 
 def rotation_points_single_angle(points: np.ndarray, angle: float, axis: int = 2):

@@ -86,10 +86,12 @@ def prep_pointcloud(input_dict: dict,
                         points, sampled["gt_boxes"])
                 points = np.concatenate([sampled["points"], points])
 
-        augment.noise_per_object(
-            gt_boxes, points,
-            rotation_perturb=prep_cfg.gt_rotation_noise,
-            center_noise_std=prep_cfg.gt_loc_noise_std, rng=rng)
+        if (np.any(np.asarray(prep_cfg.gt_loc_noise_std) > 0)
+                or np.any(np.asarray(prep_cfg.gt_rotation_noise) != 0)):
+            augment.noise_per_object(
+                gt_boxes, points,
+                rotation_perturb=prep_cfg.gt_rotation_noise,
+                center_noise_std=prep_cfg.gt_loc_noise_std, rng=rng)
         gt_boxes, points, _ = augment.random_flip(
             gt_boxes, points, flip_x=prep_cfg.random_flip_x,
             flip_y=prep_cfg.random_flip_y, rng=rng)
@@ -116,14 +118,17 @@ def prep_pointcloud(input_dict: dict,
     if prep_cfg.shuffle_points:
         points = points[rng.permutation(len(points))]
 
-    voxels, coords, num_points = voxel_generator.generate(
+    voxels_r, coords_r, num_points_r = voxel_generator.generate(
         points, prep_cfg.max_voxels)
-    nv = len(voxels)
+    nv = len(voxels_r)
     V, T = prep_cfg.max_voxels, voxel_generator.max_num_points
     C = points.shape[1]
-    voxels = np.pad(voxels, ((0, V - nv), (0, 0), (0, 0)))
-    coords = np.pad(coords, ((0, V - nv), (0, 0)), constant_values=-1)
-    num_points = np.pad(num_points, (0, V - nv))
+    voxels = np.zeros((V, T, C), np.float32)
+    voxels[:nv] = voxels_r
+    coords = np.full((V, 3), -1, np.int32)
+    coords[:nv] = coords_r
+    num_points = np.zeros((V,), np.int32)
+    num_points[:nv] = num_points_r
 
     example: Dict[str, np.ndarray] = {
         "voxels": voxels.astype(np.float32),
