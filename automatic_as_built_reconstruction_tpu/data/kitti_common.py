@@ -172,3 +172,31 @@ def empty_result_anno() -> dict:
         "location": np.zeros([0, 3]), "rotation_y": np.array([]),
         "score": np.array([]),
     }
+
+
+def anno_to_kitti_label_lines(anno: dict) -> list:
+    """Result anno -> KITTI label/result txt lines (submission format)."""
+    lines = []
+    for i in range(len(anno["name"])):
+        lines.append(
+            f"{anno['name'][i]} "
+            f"{float(anno['truncated'][i]):.2f} "
+            f"{int(anno['occluded'][i])} "
+            f"{float(anno['alpha'][i]):.2f} "
+            + " ".join(f"{v:.2f}" for v in anno["bbox"][i]) + " "
+            + " ".join(f"{v:.2f}" for v in
+                       anno["dimensions"][i][[1, 2, 0]]) + " "  # h w l
+            + " ".join(f"{v:.2f}" for v in anno["location"][i]) + " "
+            f"{float(anno['rotation_y'][i]):.2f} "
+            f"{float(anno['score'][i]):.4f}")
+    return lines
+
+
+def write_kitti_results(annos, image_ids, out_dir) -> None:
+    """Write per-frame result txts (KITTI submission layout)."""
+    import pathlib
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for anno, idx in zip(annos, image_ids):
+        (out / f"{get_image_index_str(idx)}.txt").write_text(
+            "\n".join(anno_to_kitti_label_lines(anno)) + "\n")

@@ -123,4 +123,7 @@ class KittiDataset(Dataset):
         if output_dir:
             (pathlib.Path(output_dir) / "result.txt").write_text(
                 result["result_str"])
+            kitti.write_kitti_results(
+                dt_annos, [i["image_idx"] for i in self._infos],
+                pathlib.Path(output_dir) / "data")
         return result

@@ -153,3 +153,25 @@ class TestKittiPipeline:
         assert result["Car.3d.easy"] == pytest.approx(100.0, abs=0.5)
         assert result["Car.bev.easy"] == pytest.approx(100.0, abs=0.5)
         assert "Car AP" in result["result_str"]
+
+
+class TestResultWriting:
+    def test_label_file_roundtrip(self, kitti_root, tmp_path):
+        ds = KittiDataset(root_path=kitti_root,
+                          info_path=kitti_root / "kitti_infos_train.pkl",
+                          class_names=["Car"])
+        sd = ds.get_sensor_data(0)
+        boxes = sd["annotations"]["boxes"].astype(np.float64)
+        dets = [{"box3d_lidar": boxes, "scores": np.array([0.9, 0.8]),
+                 "label_preds": np.array([0, 0])}]
+        ds.evaluation(dets, output_dir=tmp_path)
+        out = tmp_path / "data" / "000000.txt"
+        assert out.exists()
+        # parse back: camera boxes must match the written ones
+        reparsed = kitti_common.get_label_anno(out)
+        assert list(reparsed["name"]) == ["Car", "Car"]
+        back = box_ops.box_camera_to_lidar(
+            kitti_common.anno_to_rbboxes(reparsed), np.eye(4),
+            TR_VELO_TO_CAM)
+        np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=0.01)
+        assert (reparsed["score"] > 0).all()
