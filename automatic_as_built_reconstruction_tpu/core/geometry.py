@@ -168,6 +168,31 @@ def d3_box_overlap(boxes, qboxes, criterion: int = -1) -> np.ndarray:
     out = np.zeros((n, k), dtype=np.float32)
     bev_a = boxes[:, [0, 1, 3, 4, 6]]
     bev_b = qboxes[:, [0, 1, 3, 4, 6]]
+    if n and k and criterion == -1:
+        try:
+            from .. import native
+        except ImportError:
+            native = None
+        if native is not None and native.AVAILABLE:
+            # recover intersection areas from the native IoU matrix:
+            # iou = i/(a+b-i)  =>  i = iou*(a+b)/(1+iou)
+            iou2d = native.rotate_iou(bev_a.astype(np.float32),
+                                      bev_b.astype(np.float32)).astype(
+                np.float64)
+            area_a = (boxes[:, 3] * boxes[:, 4])[:, None]
+            area_b = (qboxes[:, 3] * qboxes[:, 4])[None, :]
+            inter2d = iou2d * (area_a + area_b) / (1.0 + iou2d)
+            za0, za1 = boxes[:, 2], boxes[:, 2] + boxes[:, 5]
+            zb0, zb1 = qboxes[:, 2], qboxes[:, 2] + qboxes[:, 5]
+            zi = np.clip(np.minimum(za1[:, None], zb1[None, :])
+                         - np.maximum(za0[:, None], zb0[None, :]), 0, None)
+            inter3d = inter2d * zi
+            va = (boxes[:, 3] * boxes[:, 4] * boxes[:, 5])[:, None]
+            vb = (qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5])[None, :]
+            union = va + vb - inter3d
+            return np.where(union > 0,
+                            inter3d / np.maximum(union, 1e-12),
+                            0.0).astype(np.float32)
     for i in range(n):
         for j in range(k):
             inter2d = rotated_box_intersection_area(bev_a[i], bev_b[j])
