@@ -56,6 +56,7 @@ def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
                                if pp.anchor_area_threshold else -1.0),
         min_points_in_gt=int(pp.min_num_of_points_in_gt) or -1,
         remove_points_after_sample=pp.remove_points_after_sample,
+        symmetric_yaw=pp.symmetric_yaw,
         out_size_factor=out_size_factor,
     )
 

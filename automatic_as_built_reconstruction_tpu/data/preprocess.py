@@ -40,6 +40,7 @@ class PrepConfig:
     remove_unknown: bool = False
     min_points_in_gt: int = -1
     remove_points_after_sample: bool = False
+    symmetric_yaw: bool = False
     out_size_factor: int = 2
 
 
@@ -107,7 +108,8 @@ def prep_pointcloud(input_dict: dict,
             gt_boxes, [pc_range[0], pc_range[1], pc_range[3], pc_range[4]])
         gt_boxes, gt_names = gt_boxes[mask], gt_names[mask]
         gt_boxes[:, 6] = box_ops.limit_period(
-            gt_boxes[:, 6], offset=0.5, period=2 * np.pi)
+            gt_boxes[:, 6], offset=0.5,
+            period=(np.pi if prep_cfg.symmetric_yaw else 2 * np.pi))
         gt_classes = np.array(
             [class_names.index(n) + 1 if n in class_names else -1
              for n in gt_names], dtype=np.int32)
