@@ -25,13 +25,19 @@ class PodInference:
 
     def __init__(self, model, model_cfg, variables, anchors: np.ndarray,
                  mesh: Optional[Mesh] = None,
-                 max_voxels: int = 20000, max_points_per_voxel: int = 32):
+                 max_voxels: int = 20000, max_points_per_voxel: int = 32,
+                 voxelization: str = "hard"):
+        """voxelization: "hard" (FCFS caps, any VFE) or "dynamic"
+        (cap-free per-voxel means — variable-density scans; pairs with the
+        SimpleVoxel/mean VFE, which is the identity at T=1)."""
+        assert voxelization in ("hard", "dynamic")
         self._model = model
         self._cfg = model_cfg
         self._mesh = mesh
         self._anchors = jnp.asarray(anchors)  # [A, 7]
         self._max_voxels = max_voxels
         self._max_ppv = max_points_per_voxel
+        self._voxelization = voxelization
         if mesh is not None:
             self._variables = jax.device_put(
                 variables, NamedSharding(mesh, P()))
@@ -43,13 +49,24 @@ class PodInference:
         cfg = self._cfg
 
         def run(variables, points, num_valid):
-            vox = jax.vmap(lambda p, n: voxelize_jax.voxelize(
-                p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
-                grid_size=cfg.grid_size, max_points=self._max_ppv,
-                max_voxels=self._max_voxels,
-                first_appearance=False))(points, num_valid)
-            preds = self._model.apply(variables, vox.voxels, vox.num_points,
-                                      vox.coords, train=False)
+            if self._voxelization == "dynamic":
+                dv = jax.vmap(lambda p, n: voxelize_jax.dynamic_voxelize(
+                    p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+                    grid_size=cfg.grid_size,
+                    max_voxels=self._max_voxels))(points, num_valid)
+                voxels = dv.features[:, :, None, :]       # [B, V, 1, C]
+                num_points = jnp.minimum(dv.num_points, 1)
+                coords = dv.coords
+            else:
+                vox = jax.vmap(lambda p, n: voxelize_jax.voxelize(
+                    p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+                    grid_size=cfg.grid_size, max_points=self._max_ppv,
+                    max_voxels=self._max_voxels,
+                    first_appearance=False))(points, num_valid)
+                voxels, num_points, coords = (vox.voxels, vox.num_points,
+                                              vox.coords)
+            preds = self._model.apply(variables, voxels, num_points,
+                                      coords, train=False)
             anchors = jnp.broadcast_to(
                 self._anchors, (points.shape[0],) + self._anchors.shape)
             return voxelnet_mod.predict(preds, anchors, cfg)

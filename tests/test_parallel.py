@@ -162,3 +162,38 @@ class TestShardedVoxelize:
         np.testing.assert_allclose(np.asarray(mean8), np.asarray(mean1),
                                    rtol=1e-5, atol=1e-6)
         assert float(cnt8.sum()) > 0
+
+
+class TestDynamicPodInference:
+    def test_dynamic_voxelization_mode(self):
+        rng = np.random.default_rng(5)
+        cfg = VoxelNetConfig(
+            num_class=1, vfe_name="SimpleVoxel",
+            voxel_size=(1.0, 1.0, 4.0), pc_range=(0, -8, -3, 16, 8, 1),
+            grid_size=(16, 16, 1),
+            rpn_layer_nums=(1,), rpn_layer_strides=(2,),
+            rpn_num_filters=(8,), rpn_upsample_strides=(1,),
+            rpn_num_upsample_filters=(8,), num_anchor_per_loc=2,
+            nms_pre_max_size=32, nms_post_max_size=4,
+            nms_score_threshold=0.0)
+        model = VoxelNet(cfg=cfg)
+        B, Pn = 8, 3000
+        pts = np.concatenate([
+            rng.uniform(0, 16, (B, Pn, 1)), rng.uniform(-8, 8, (B, Pn, 1)),
+            rng.uniform(-2, 0, (B, Pn, 1)), rng.random((B, Pn, 1))],
+            axis=-1).astype(np.float32)
+        nv = np.full((B,), Pn, np.int32)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 8, 1, 4)),
+                               jnp.zeros((1, 8), jnp.int32),
+                               jnp.full((1, 8, 3), -1, jnp.int32))
+        anchors = (rng.normal(size=(8 * 8 * 2, 7)) + 2).astype(np.float32)
+        mesh = data_parallel_mesh(8)
+        pod = PodInference(model, cfg, variables, anchors, mesh=mesh,
+                           max_voxels=256, voxelization="dynamic")
+        out = pod(pts, nv)
+        assert out["box3d_lidar"].shape[0] == B
+        assert np.isfinite(out["scores"]).all()
+        # dynamic mode uses every in-range point (no per-voxel cap):
+        # denser scan than 256 voxels x 8 points could hold
+        assert out["valid"].any()
