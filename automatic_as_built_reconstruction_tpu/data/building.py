@@ -33,6 +33,7 @@ COLUMN_SIZE = (0.3, 0.7)
 DOOR_WIDTH = (0.8, 1.1)
 DOOR_HEIGHT = (1.9, 2.2)
 DOOR_THICKNESS = (0.04, 0.08)
+MAX_WALL_SEGMENT = 2.5
 
 
 def _sample_box_surface(rng, box, density: float) -> np.ndarray:
@@ -76,9 +77,19 @@ def _wall_with_door(rng, p0, p1, thickness, height, door_prob=0.5):
     walls, doors = [], []
 
     def wall_box(a, b):
-        mid = (a + b) / 2
+        """Wall run a->b split into <= MAX_WALL_SEGMENT boxes (box
+        detectors handle bounded extents far better than 10m+ walls; the
+        reconstruction step can merge collinear segments)."""
         ln = float(np.hypot(*(b - a)))
-        return [mid[0], mid[1], 0.0, thickness, ln, height, yaw]
+        n_seg = max(int(np.ceil(ln / MAX_WALL_SEGMENT)), 1)
+        out = []
+        for si in range(n_seg):
+            sa = a + (b - a) * (si / n_seg)
+            sb = a + (b - a) * ((si + 1) / n_seg)
+            mid = (sa + sb) / 2
+            out.append([mid[0], mid[1], 0.0, thickness, ln / n_seg,
+                        height, yaw])
+        return out
 
     if length > 2.4 and rng.uniform() < door_prob:
         dw = rng.uniform(*DOOR_WIDTH)
@@ -86,8 +97,8 @@ def _wall_with_door(rng, p0, p1, thickness, height, door_prob=0.5):
         t = rng.uniform(0.6 / length, 1 - (0.6 + dw) / length)
         a = p0 + seg * t
         b = a + seg / length * dw
-        walls.append(wall_box(p0, a))
-        walls.append(wall_box(b, p1))
+        walls.extend(wall_box(p0, a))
+        walls.extend(wall_box(b, p1))
         dmid = (a + b) / 2
         dh = rng.uniform(*DOOR_HEIGHT)
         # door leaf sits in the opening (sometimes ajar)
@@ -96,7 +107,7 @@ def _wall_with_door(rng, p0, p1, thickness, height, door_prob=0.5):
         doors.append([dmid[0], dmid[1], 0.0,
                       rng.uniform(*DOOR_THICKNESS), dw, dh, leaf_yaw])
     else:
-        walls.append(wall_box(p0, p1))
+        walls.extend(wall_box(p0, p1))
     return walls, doors
 
 
@@ -161,6 +172,11 @@ def generate_building_scene(seed: int, *,
         boxes[:, :3] = box_ops.rotation_points_single_angle(
             boxes[:, :3] - ctr, rot, axis=2) + ctr
         boxes[:, 6] += rot
+    # building elements are pi-symmetric (yaw and yaw+pi describe the same
+    # physical object): canonicalize to [-pi/2, pi/2) so regression targets
+    # are well-defined
+    if len(boxes):
+        boxes[:, 6] = box_ops.limit_period(boxes[:, 6], 0.5, np.pi)
 
     pts = [_sample_box_surface(rng, b, density) for b in boxes]
     # floor + ceiling
