@@ -83,23 +83,34 @@ def build_submanifold_rulebook(coords: jax.Array, valid: jax.Array,
 
 def submanifold_conv(features: jax.Array, rulebook: SubmanifoldRulebook,
                      weights: jax.Array, bias: jax.Array | None = None,
-                     valid: jax.Array | None = None) -> jax.Array:
+                     valid: jax.Array | None = None,
+                     fused_gemm: bool = True) -> jax.Array:
     """features [N, Cin], weights [K, Cin, Cout] -> [N, Cout].
 
-    scan over kernel offsets: gather -> masked GEMM -> accumulate.
+    fused_gemm=True: gather all K neighbors into [N, K*Cin] and run ONE
+    MXU-sized GEMM (vs a scan of K small GEMMs) — trades K*N*Cin scratch
+    HBM for MXU utilization.  False: scan(gather -> masked GEMM ->
+    accumulate), working set stays [N, C].
     """
     N = features.shape[0]
-    Cout = weights.shape[-1]
+    K, Cin, Cout = weights.shape
 
-    def body(acc, inputs):
-        g_idx, hit, w = inputs
-        gathered = jnp.where(hit[:, None], features[g_idx], 0.0)
-        return acc + jnp.dot(gathered, w,
-                             preferred_element_type=jnp.float32), None
+    if fused_gemm:
+        gathered = jnp.where(rulebook.found[:, :, None],
+                             features[rulebook.gather_idx], 0.0)  # [K,N,Cin]
+        gathered = jnp.transpose(gathered, (1, 0, 2)).reshape(N, K * Cin)
+        out = jnp.dot(gathered, weights.reshape(K * Cin, Cout),
+                      preferred_element_type=jnp.float32)
+    else:
+        def body(acc, inputs):
+            g_idx, hit, w = inputs
+            g = jnp.where(hit[:, None], features[g_idx], 0.0)
+            return acc + jnp.dot(g, w,
+                                 preferred_element_type=jnp.float32), None
 
-    acc0 = jnp.zeros((N, Cout), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0,
-                          (rulebook.gather_idx, rulebook.found, weights))
+        acc0 = jnp.zeros((N, Cout), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0,
+                              (rulebook.gather_idx, rulebook.found, weights))
     if bias is not None:
         out = out + bias
     if valid is not None:
@@ -193,20 +204,28 @@ def build_strided_layout(coords: jax.Array, valid: jax.Array,
 
 def strided_sparse_conv(features: jax.Array, layout: StridedSparseLayout,
                         weights: jax.Array,
-                        bias: jax.Array | None = None) -> jax.Array:
+                        bias: jax.Array | None = None,
+                        fused_gemm: bool = True) -> jax.Array:
     """features [N, Cin], weights [T, Cin, Cout] -> [M, Cout]."""
     M = layout.out_valid.shape[0]
-    Cout = weights.shape[-1]
+    T, Cin, Cout = weights.shape
 
-    def body(acc, inputs):
-        g_idx, hit, w = inputs
-        gathered = jnp.where(hit[:, None], features[g_idx], 0.0)
-        return acc + jnp.dot(gathered, w,
-                             preferred_element_type=jnp.float32), None
+    if fused_gemm:
+        gathered = jnp.where(layout.found[:, :, None],
+                             features[layout.gather_idx], 0.0)  # [T,M,Cin]
+        gathered = jnp.transpose(gathered, (1, 0, 2)).reshape(M, T * Cin)
+        out = jnp.dot(gathered, weights.reshape(T * Cin, Cout),
+                      preferred_element_type=jnp.float32)
+    else:
+        def body(acc, inputs):
+            g_idx, hit, w = inputs
+            g = jnp.where(hit[:, None], features[g_idx], 0.0)
+            return acc + jnp.dot(g, w,
+                                 preferred_element_type=jnp.float32), None
 
-    acc0 = jnp.zeros((M, Cout), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0,
-                          (layout.gather_idx, layout.found, weights))
+        acc0 = jnp.zeros((M, Cout), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0,
+                              (layout.gather_idx, layout.found, weights))
     if bias is not None:
         out = out + bias
     out = jnp.where(layout.out_valid[:, None], out, 0.0)
