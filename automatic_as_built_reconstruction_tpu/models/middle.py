@@ -130,6 +130,11 @@ class SparseMiddle(nn.Module):
     layers_per_block: Sequence[int] = (2, 2, 2)
     z_strides: Sequence[int] = (2, 2, 2)
     xy_strides: Sequence[int] = (1, 1, 2)
+    # active-site capacity multiplier applied after each strided conv
+    # (stride-2 downsampling empirically shrinks active counts by ~2-4x;
+    # rulebook/layout construction cost scales with the padded capacity)
+    capacity_shrink: float = 0.6
+    min_capacity: int = 2048
 
     def _conv_params(self, name, k, cin, cout):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
@@ -165,14 +170,19 @@ class SparseMiddle(nn.Module):
             stride = (zs, xys, xys)
             kernel = (3, 3, 3)
             pad = (1, 1, 1)
+            next_cap = max(int(V * self.capacity_shrink),
+                           min(self.min_capacity, V))
+            next_cap = ((next_cap + 127) // 128) * 128
             layout = jax.vmap(functools.partial(
                 sc.build_strided_layout, grid_dhw=grid, kernel_size=kernel,
-                stride=stride, padding=pad, max_out=V))(cur_coords, valid)
+                stride=stride, padding=pad,
+                max_out=next_cap))(cur_coords, valid)
             w = self._conv_params(f"b{bi}_down", 27, cin, cout)
             feats = jax.vmap(sc.strided_sparse_conv,
                              in_axes=(0, 0, None))(feats, layout, w)
             cur_coords = layout.out_coords
             valid = layout.out_valid
+            V = next_cap
             grid = tuple((g + 2 * p - k) // s + 1 for g, p, k, s in zip(
                 grid, pad, kernel, stride))
             feats = MaskedBatchNorm(name=f"b{bi}_down_bn")(
