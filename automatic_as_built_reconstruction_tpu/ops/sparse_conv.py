@@ -145,26 +145,29 @@ def build_strided_layout(coords: jax.Array, valid: jax.Array,
     out_grid = tuple(int((g + 2 * pp - kk) // ss + 1)
                      for g, pp, kk, ss in zip(grid_dhw, p, k, s))
 
-    # per-dim candidate outputs for an input i: o = (i + p - t) / s for
-    # t in [0, k): enumerate t, keep integral & in-range.
-    cand_per_dim = [np.arange(kk) for kk in k]
-    # full tap grid [T, 3], T = kz*ky*kx — bounded (27 for 3^3)
-    taps = np.stack(np.meshgrid(*cand_per_dim, indexing="ij"), -1
-                    ).reshape(-1, 3)
-    taps = jnp.asarray(taps, jnp.int32)
-    T = taps.shape[0]
     sj = jnp.asarray(s, jnp.int32)
     pj = jnp.asarray(p, jnp.int32)
 
-    def candidates(off):
-        num = coords + pj[None, :] - off[None, :]
-        o = num // sj[None, :]
-        exact = (o * sj[None, :] == num)
-        ok = valid & exact.all(-1)
+    # candidate outputs per input: per dim, o must satisfy
+    # o*s in [i + p - k + 1, i + p]  =>  at most ceil(k/s) integer values
+    # starting at floor((i + p) / s) and stepping down.  Enumerating those
+    # (e.g. 2 per dim for k=3, s=2 -> 8 combos) instead of all k^3 taps
+    # keeps the sort 3.4x smaller.
+    n_cand = [int(-(-kk // ss)) for kk, ss in zip(k, s)]
+    deltas = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
+                                  indexing="ij"), -1).reshape(-1, 3)
+    deltas = jnp.asarray(deltas, jnp.int32)
+    kj = jnp.asarray(k, jnp.int32)
+
+    def candidates(dlt):
+        o = (coords + pj[None, :]) // sj[None, :] - dlt[None, :]
+        lo = coords + pj[None, :] - kj[None, :] + 1
+        ok = valid & ((o * sj[None, :] >= lo)
+                      & (o * sj[None, :] <= coords + pj[None, :])).all(-1)
         okey = linearize(o, out_grid)
         return jnp.where(ok, okey, _INT32_MAX)
 
-    cand_keys = jax.vmap(candidates)(taps).reshape(-1)      # [T*N]
+    cand_keys = jax.vmap(candidates)(deltas).reshape(-1)    # [C*N]
     skeys = jnp.sort(cand_keys)
     first = jnp.concatenate(
         [jnp.array([True]), skeys[1:] != skeys[:-1]]) & (skeys != _INT32_MAX)
@@ -184,7 +187,11 @@ def build_strided_layout(coords: jax.Array, valid: jax.Array,
         out_valid[:, None],
         jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)
 
-    # rulebook: input coord for (output, tap) = o*s + tap - p
+    # rulebook: input coord for (output, tap) = o*s + tap - p over the
+    # full k^3 tap set
+    taps = np.stack(np.meshgrid(*[np.arange(kk) for kk in k],
+                                indexing="ij"), -1).reshape(-1, 3)
+    taps = jnp.asarray(taps, jnp.int32)
     in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
     order = jnp.argsort(in_keys)
     sorted_in = in_keys[order]
