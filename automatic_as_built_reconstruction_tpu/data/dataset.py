@@ -17,7 +17,7 @@ A dataset returns *sensor data dicts* from ``get_sensor_data(idx)``:
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Type
+from typing import Dict, Type
 
 REGISTERED_DATASET_CLASSES: Dict[str, Type["Dataset"]] = {}
 

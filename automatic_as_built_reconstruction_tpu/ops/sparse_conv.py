@@ -21,8 +21,7 @@ densified inputs (the spconv test pattern).
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

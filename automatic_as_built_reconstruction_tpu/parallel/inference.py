@@ -8,7 +8,6 @@ zero host-side resharding.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -16,12 +16,11 @@ single-device dynamic voxelizer.
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _local_accumulate(points, num_valid, *, voxel_size, pc_range, grid_hw,
