@@ -7,4 +7,4 @@ ICI collectives.  Data parallelism for training, batched pod inference for
 serving (BASELINE.json config 5).
 """
 from .mesh import data_parallel_mesh, replicate, shard_batch
-from .inference import PodInference
+from .inference import PodInference, pod_inference_from_checkpoint

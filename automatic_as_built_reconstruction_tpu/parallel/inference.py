@@ -99,3 +99,37 @@ class PodInference:
                 "label_preds": out["label_preds"][b][v],
             })
         return dets
+
+
+def pod_inference_from_checkpoint(config_path, model_dir, *,
+                                  mesh: Optional[Mesh] = None,
+                                  max_voxels: int = 20000,
+                                  max_points_per_voxel: int = 32,
+                                  voxelization: str = "hard") -> PodInference:
+    """Build a PodInference straight from a config + checkpoint dir.
+
+    Loads the latest orbax checkpoint (or initializes fresh weights with a
+    warning if none exists) and generates the anchor grid from the config's
+    target assigner — the one-call serving entry point.
+    """
+    import numpy as np
+
+    from ..train import checkpoint as ckpt_mod
+    from ..train import train as train_mod
+
+    bundle = train_mod.Bundle(config_path)
+    state, _ = train_mod.init_state(bundle)
+    restored, step = ckpt_mod.try_restore_latest(model_dir, state)
+    if restored is not None:
+        state = restored
+        print(f"pod inference: loaded checkpoint at step {step}")
+    else:
+        print("WARNING: no checkpoint found; serving random weights")
+    anchors = bundle.target_assigner.generate_anchors(
+        bundle.feature_map_size)["anchors"].reshape(-1, 7).astype(np.float32)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    return PodInference(bundle.model, bundle.model_cfg, variables, anchors,
+                        mesh=mesh, max_voxels=max_voxels,
+                        max_points_per_voxel=max_points_per_voxel,
+                        voxelization=voxelization)

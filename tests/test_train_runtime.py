@@ -134,3 +134,25 @@ class TestTrainRuntime:
         state = train_mod.train(micro_cfg_path, model_dir, max_steps=2,
                                 display_step=1, resume=False)
         assert int(state["step"]) == 2
+
+
+class TestPodFromCheckpoint:
+    def test_serving_entry_point(self, micro_cfg_path, tmp_path):
+        import numpy as np
+        from automatic_as_built_reconstruction_tpu.parallel import (
+            pod_inference_from_checkpoint)
+        model_dir = tmp_path / "srv"
+        train_mod.train(micro_cfg_path, model_dir, max_steps=2,
+                        display_step=1)
+        pod = pod_inference_from_checkpoint(
+            micro_cfg_path, model_dir, max_voxels=256,
+            max_points_per_voxel=8)
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            rng.uniform(0, 8, (2, 1500, 2)),
+            rng.uniform(0, 3, (2, 1500, 1)),
+            rng.random((2, 1500, 1))], axis=-1).astype(np.float32)
+        out = pod(pts, np.array([1500, 1500], np.int32))
+        dets = pod.detections_list(out)
+        assert len(dets) == 2
+        assert all(np.isfinite(d["scores"]).all() for d in dets)
