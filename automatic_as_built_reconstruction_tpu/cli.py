@@ -44,6 +44,11 @@ def main(argv=None):
     p_bprep.add_argument("--num_val", type=int, default=32)
     p_bprep.add_argument("--seed", type=int, default=0)
 
+    p_view = sub.add_parser("viewer", help="serve the web viewer")
+    p_view.add_argument("--config_path", required=True)
+    p_view.add_argument("--model_dir", default=None)
+    p_view.add_argument("--port", type=int, default=8123)
+
     p_kprep = sub.add_parser("kitti_data_prep",
                              help="build KITTI infos, reduced clouds, "
                                   "gt database")
@@ -75,6 +80,12 @@ def main(argv=None):
     elif args.command == "kitti_data_prep":
         from .data.create_data import kitti_data_prep
         kitti_data_prep(args.root_path)
+    elif args.command == "viewer":
+        from .viewer.server import main as viewer_main
+        argv2 = ["--config_path", args.config_path, "--port", str(args.port)]
+        if args.model_dir:
+            argv2 += ["--model_dir", args.model_dir]
+        viewer_main(argv2)
 
 
 if __name__ == "__main__":
