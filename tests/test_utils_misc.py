@@ -69,3 +69,30 @@ class TestBevOps:
         assert bev[1, 0, 0] > 0       # slab 1
         assert bev[2, 0, 0] > bev[2, 1, 2]  # density 2 vs 1
         assert bev[3, 0, 0] == pytest.approx(0.8)
+
+
+class TestProgress:
+    def test_progress_bar_passthrough(self):
+        import io
+        from automatic_as_built_reconstruction_tpu.utils.progress import (
+            progress_bar)
+        buf = io.StringIO()
+        out = list(progress_bar(range(5), desc="t ", file=buf))
+        assert out == [0, 1, 2, 3, 4]
+        assert "5/5" in buf.getvalue()
+
+    def test_stage_timers(self):
+        import time as _t
+        from automatic_as_built_reconstruction_tpu.utils.progress import (
+            StageTimers)
+        st = StageTimers()
+        for _ in range(3):
+            with st.time("stage_a"):
+                _t.sleep(0.002)
+        with st.time("stage_b"):
+            _t.sleep(0.001)
+        ms = st.means_ms()
+        assert ms["stage_a"] >= 1.5 and ms["stage_b"] >= 0.5
+        assert "stage_a" in st.report()
+        st.clear()
+        assert st.means_ms() == {}
