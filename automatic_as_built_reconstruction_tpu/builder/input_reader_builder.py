@@ -61,8 +61,12 @@ def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
 
 
 def build(input_cfg, training: bool, voxel_generator, target_assigner,
-          feature_map_size, seed: int = 0):
-    """Returns (PrepDataset, BatchLoader)."""
+          feature_map_size, seed: int = 0, middle_plan=None):
+    """Returns (PrepDataset, BatchLoader).
+
+    ``middle_plan``: sparse-middle block plan for host rulebook precompute
+    (see models.voxelnet.middle_plan / ops.rulebook_host).
+    """
     class_names = list(input_cfg.class_names)
     dataset = _build_dataset(input_cfg.dataset, class_names, training)
     pp = input_cfg.preprocess
@@ -93,6 +97,7 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         training=training,
         anchor_cache=anchor_cache,
         db_sampler=db_sampler,
+        middle_plan=middle_plan,
     )
     prep_ds = PrepDataset(dataset,
                           lambda sd, rng: prep_fn(sd, rng=rng))

@@ -21,7 +21,8 @@ _LIST_KEYS = ("metadata", "calib", "gt_boxes", "gt_names")
 def merge_batch(examples: List[Dict[str, np.ndarray]]) -> Dict[str, object]:
     out: Dict[str, object] = {}
     for k in examples[0].keys():
-        if k in _STACK_KEYS:
+        if k in _STACK_KEYS or k.startswith("rb"):
+            # rb* = host-precomputed sparse-conv rulebooks (rulebook_host)
             out[k] = np.stack([e[k] for e in examples])
         elif k in _LIST_KEYS:
             out[k] = [e[k] for e in examples]
@@ -32,4 +33,6 @@ def device_example(batch: Dict[str, object]) -> Dict[str, np.ndarray]:
     """The array-only subset that is shipped to the device."""
     keys = ("voxels", "num_points", "coordinates", "anchors", "anchors_mask",
             "labels", "reg_targets", "importance")
-    return {k: batch[k] for k in keys if k in batch}
+    out = {k: batch[k] for k in keys if k in batch}
+    out.update({k: v for k, v in batch.items() if k.startswith("rb")})
+    return out

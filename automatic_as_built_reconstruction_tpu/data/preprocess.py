@@ -52,9 +52,15 @@ def prep_pointcloud(input_dict: dict,
                     anchor_cache: Optional[dict] = None,
                     db_sampler=None,
                     rng: Optional[np.random.Generator] = None,
-                    feature_map_size: Optional[Sequence[int]] = None
-                    ) -> Dict[str, np.ndarray]:
-    """Sensor-data dict -> example dict of fixed-capacity numpy arrays."""
+                    feature_map_size: Optional[Sequence[int]] = None,
+                    middle_plan=None) -> Dict[str, np.ndarray]:
+    """Sensor-data dict -> example dict of fixed-capacity numpy arrays.
+
+    ``middle_plan``: optional sparse-middle block plan; when given, the
+    spconv-style rulebooks are precomputed here on host (native C++) and
+    shipped with the example, removing rulebook construction from the
+    device step (``rb*`` keys; see ops.rulebook_host).
+    """
     rng = rng or np.random.default_rng()
     points = np.array(input_dict["lidar"]["points"], np.float32, copy=True)
     class_names = list(prep_cfg.class_names)
@@ -138,6 +144,10 @@ def prep_pointcloud(input_dict: dict,
         "coordinates": coords.astype(np.int32),
         "num_voxels": np.asarray(nv, np.int32),
     }
+    if middle_plan is not None:
+        from ..ops import rulebook_host
+        example.update(rulebook_host.build_middle_rulebooks(
+            coords, middle_plan))
     if "metadata" in input_dict:
         example["metadata"] = input_dict["metadata"]
     if "calib" in input_dict:

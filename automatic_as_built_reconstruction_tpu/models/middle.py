@@ -140,56 +140,62 @@ class SparseMiddle(nn.Module):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
         return w
 
+    def plan(self, v_cap: int):
+        return sc.make_plan(self.grid_dhw, v_cap, self.num_filters,
+                            self.layers_per_block, self.z_strides,
+                            self.xy_strides, self.capacity_shrink,
+                            self.min_capacity)
+
     @nn.compact
-    def __call__(self, voxel_features, coords, *, train: bool = False):
-        """[B, V, F] + [B, V, 3] (z,y,x; -1 pad) -> [B, H', W', C*D']."""
+    def __call__(self, voxel_features, coords, *, train: bool = False,
+                 rulebooks=None):
+        """[B, V, F] + [B, V, 3] (z,y,x; -1 pad) -> [B, H', W', C*D'].
+
+        ``rulebooks``: optional precomputed per-block
+        ``(SubmanifoldRulebook, StridedSparseLayout)`` pairs (batch-leading;
+        built on host by ``ops.rulebook_host`` — the spconv-style
+        getIndicePairs precompute).  When absent they are built on device.
+        """
         B, V, F = voxel_features.shape
         feats = voxel_features
         cur_coords = coords
         valid = coords[..., 0] >= 0
-        grid = tuple(int(g) for g in self.grid_dhw)
         cin = F
 
-        for bi, (cout, n_subm, zs, xys) in enumerate(zip(
-                self.num_filters, self.layers_per_block, self.z_strides,
-                self.xy_strides)):
+        for bi, blk in enumerate(self.plan(V)):
             # submanifold stack (shared rulebook per block)
-            rb = jax.vmap(functools.partial(
-                sc.build_submanifold_rulebook, grid_dhw=grid,
-                kernel_size=(3, 3, 3)))(cur_coords, valid)
-            for li in range(n_subm):
-                w = self._conv_params(f"b{bi}_subm{li}", 27, cin, cout)
+            if rulebooks is not None:
+                rb, layout = rulebooks[bi]
+            else:
+                rb = jax.vmap(functools.partial(
+                    sc.build_submanifold_rulebook, grid_dhw=blk.grid,
+                    kernel_size=blk.kernel))(cur_coords, valid)
+                layout = jax.vmap(functools.partial(
+                    sc.build_strided_layout, grid_dhw=blk.grid,
+                    kernel_size=blk.kernel, stride=blk.stride,
+                    padding=blk.pad,
+                    max_out=blk.out_cap))(cur_coords, valid)
+            for li in range(blk.n_subm):
+                w = self._conv_params(f"b{bi}_subm{li}", 27, cin, blk.cout)
                 feats = jax.vmap(sc.submanifold_conv,
                                  in_axes=(0, 0, None, None, 0))(
                     feats, rb, w, None, valid)
                 feats = MaskedBatchNorm(name=f"b{bi}_subm{li}_bn")(
                     feats, valid, train=train)
                 feats = nn.relu(feats) * valid[..., None]
-                cin = cout
+                cin = blk.cout
             # strided downsample conv
-            stride = (zs, xys, xys)
-            kernel = (3, 3, 3)
-            pad = (1, 1, 1)
-            next_cap = max(int(V * self.capacity_shrink),
-                           min(self.min_capacity, V))
-            next_cap = ((next_cap + 127) // 128) * 128
-            layout = jax.vmap(functools.partial(
-                sc.build_strided_layout, grid_dhw=grid, kernel_size=kernel,
-                stride=stride, padding=pad,
-                max_out=next_cap))(cur_coords, valid)
-            w = self._conv_params(f"b{bi}_down", 27, cin, cout)
+            w = self._conv_params(f"b{bi}_down", 27, cin, blk.cout)
             feats = jax.vmap(sc.strided_sparse_conv,
                              in_axes=(0, 0, None))(feats, layout, w)
             cur_coords = layout.out_coords
             valid = layout.out_valid
-            V = next_cap
-            grid = tuple((g + 2 * p - k) // s + 1 for g, p, k, s in zip(
-                grid, pad, kernel, stride))
             feats = MaskedBatchNorm(name=f"b{bi}_down_bn")(
                 feats, valid, train=train)
             feats = nn.relu(feats) * valid[..., None]
-            cin = cout
+            cin = blk.cout
+            final_grid = blk.out_grid
 
         bev = jax.vmap(functools.partial(
-            sc.scatter_to_bev, grid_dhw=grid))(feats, cur_coords, valid)
+            sc.scatter_to_bev, grid_dhw=final_grid))(feats, cur_coords, valid)
         return bev

@@ -43,6 +43,19 @@ MIDDLE_REGISTRY = {
 }
 
 
+def middle_plan(cfg: "VoxelNetConfig", v_cap: int):
+    """Sparse middle-stack block plan for a config, or None if the middle
+    extractor is dense/pillar.  Used by the input pipeline to precompute
+    rulebooks on host (ops.rulebook_host)."""
+    from ..ops import sparse_conv as sc
+    if MIDDLE_REGISTRY.get(cfg.middle_name) is not SparseMiddle:
+        return None
+    grid_dhw = (cfg.grid_size[2], cfg.grid_size[1], cfg.grid_size[0])
+    return sc.make_plan(grid_dhw, v_cap, cfg.middle_num_filters,
+                        cfg.middle_layers_per_block, cfg.middle_z_strides,
+                        cfg.middle_xy_strides)
+
+
 @dataclasses.dataclass(frozen=True)
 class VoxelNetConfig:
     """Static model config (hashable — safe as a jit static arg)."""
@@ -112,7 +125,11 @@ class VoxelNet(nn.Module):
     cfg: VoxelNetConfig
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, *, train: bool = False):
+    def __call__(self, voxels, num_points, coords, *, train: bool = False,
+                 middle_rulebooks=None):
+        """``middle_rulebooks``: optional host-precomputed sparse-conv
+        rulebooks (see ``ops.rulebook_host``) — only meaningful for the
+        sparse middle extractors."""
         cfg = self.cfg
         vfe_cls = VFE_REGISTRY[cfg.vfe_name]
         if cfg.vfe_name == "PillarFeatureNet":
@@ -148,7 +165,11 @@ class VoxelNet(nn.Module):
                 layers_per_block=cfg.middle_layers_per_block,
                 z_strides=cfg.middle_z_strides,
                 xy_strides=cfg.middle_xy_strides)
-            spatial = middle(voxel_features, coords, train=train)
+            if isinstance(middle, SparseMiddle):
+                spatial = middle(voxel_features, coords, train=train,
+                                 rulebooks=middle_rulebooks)
+            else:
+                spatial = middle(voxel_features, coords, train=train)
 
         if cfg.compute_dtype == "bfloat16":
             spatial = spatial.astype(jnp.bfloat16)

@@ -56,6 +56,11 @@ def _load():
     lib.abr_rotate_iou.argtypes = [fp, i64, fp, i64, ctypes.c_int, fp]
     lib.abr_rotate_nms.restype = ctypes.c_int
     lib.abr_rotate_nms.argtypes = [fp, fp, i64, f32, i64, ip64]
+    lib.abr_subm_rulebook.restype = None
+    lib.abr_subm_rulebook.argtypes = [ip32, i64, ip32, ip32, ip32, up]
+    lib.abr_strided_layout.restype = ctypes.c_int
+    lib.abr_strided_layout.argtypes = [ip32, i64, ip32, ip32, ip32, ip32,
+                                       i64, ip32, up, ip32, up]
     _lib = lib
     return lib
 

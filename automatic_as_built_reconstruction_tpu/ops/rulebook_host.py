@@ -1,0 +1,229 @@
+"""Host-side sparse-conv rulebook precompute (the spconv getIndicePairs
+role [ref: external spconv/src/spconv/indice.cu — lineage-expected,
+UNVERIFIED], executed on CPU in the input pipeline instead of on device).
+
+Voxel coords are produced on host by the voxelizer, so every rulebook /
+strided layout of the sparse middle stack is known before the batch ships
+to the TPU.  Precomputing them here removes the dominant cost of the
+device forward pass (sort + searchsorted rulebook construction) — the jit
+program receives the tables as ordinary inputs with static shapes.
+
+Two implementations with identical outputs:
+- native C++ (``csrc/abr_host.cpp::abr_subm_rulebook/abr_strided_layout``,
+  via ctypes; releases the GIL so pipeline workers overlap), and
+- a pure-numpy twin (fallback + parity oracle for tests).
+
+Both are bit-identical to the on-device builders in ``ops.sparse_conv``
+(same offset order, sorted-unique output ordering, max_out truncation).
+
+Transport format: a flat ``{str: np.ndarray}`` dict (keys ``rb{i}_*``) so
+examples batch/stack through ``data.batching`` unchanged; ``unflatten``
+rebuilds the ``(SubmanifoldRulebook, StridedSparseLayout)`` pairs the
+model consumes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from .. import native
+from . import sparse_conv as sc
+
+K333 = 27
+
+
+# ---------------------------------------------------------------------------
+# single-block builders (numpy fallback twins of the C++ entry points)
+# ---------------------------------------------------------------------------
+
+
+def _coord_table(coords: np.ndarray, grid) -> Dict[int, int]:
+    D, H, W = grid
+    table: Dict[int, int] = {}
+    for i in range(coords.shape[0]):
+        z, y, x = (int(coords[i, 0]), int(coords[i, 1]), int(coords[i, 2]))
+        if z < 0 or z >= D or y < 0 or y >= H or x < 0 or x >= W:
+            continue
+        key = (z * H + y) * W + x
+        table.setdefault(key, i)   # first wins (device parity)
+    return table
+
+
+def _offsets(kernel) -> np.ndarray:
+    kz, ky, kx = kernel
+    return np.stack(np.meshgrid(
+        np.arange(kz) - kz // 2,
+        np.arange(ky) - ky // 2,
+        np.arange(kx) - kx // 2, indexing="ij"), -1).reshape(-1, 3)
+
+
+def subm_rulebook_np(coords: np.ndarray, grid, kernel=(3, 3, 3)):
+    """[N,3] int32 (z,y,x; -1 pad) -> (gather_idx [K,N] i32, found [K,N])."""
+    N = coords.shape[0]
+    D, H, W = grid
+    table = _coord_table(coords, grid)
+    offs = _offsets(kernel)
+    K = offs.shape[0]
+    gather_idx = np.zeros((K, N), np.int32)
+    found = np.zeros((K, N), bool)
+    valid = coords[:, 0] >= 0
+    for k in range(K):
+        q = coords + offs[k][None, :]
+        ok = valid & (q >= 0).all(-1) & (q[:, 0] < D) & (q[:, 1] < H) \
+            & (q[:, 2] < W)
+        for i in np.nonzero(ok)[0]:
+            key = (int(q[i, 0]) * H + int(q[i, 1])) * W + int(q[i, 2])
+            j = table.get(key)
+            if j is not None:
+                gather_idx[k, i] = j
+                found[k, i] = True
+    return gather_idx, found
+
+
+def strided_layout_np(coords: np.ndarray, grid, kernel, stride, pad,
+                      max_out: int):
+    """Numpy twin of ``abr_strided_layout`` (device-parity semantics)."""
+    D, H, W = grid
+    s, p, k = np.asarray(stride), np.asarray(pad), np.asarray(kernel)
+    out_grid = tuple(int((g + 2 * pp - kk) // ss + 1)
+                     for g, pp, kk, ss in zip(grid, p, k, s))
+    valid = coords[:, 0] >= 0
+    cand = set()
+    for i in np.nonzero(valid)[0]:
+        rng = []
+        for d in range(3):
+            ip = int(coords[i, d]) + int(p[d])
+            lo = max(0, -((-(ip - int(k[d]) + 1)) // int(s[d])))
+            hi = min(ip // int(s[d]), out_grid[d] - 1)
+            rng.append(range(lo, hi + 1))
+        for oz in rng[0]:
+            for oy in rng[1]:
+                for ox in rng[2]:
+                    cand.add((oz * out_grid[1] + oy) * out_grid[2] + ox)
+    keys = sorted(cand)[:max_out]
+    num_out = len(keys)
+    out_coords = np.full((max_out, 3), -1, np.int32)
+    for o, key in enumerate(keys):
+        out_coords[o] = (key // (out_grid[1] * out_grid[2]),
+                         (key // out_grid[2]) % out_grid[1],
+                         key % out_grid[2])
+    out_valid = np.arange(max_out) < num_out
+
+    table = _coord_table(coords, grid)
+    taps = np.stack(np.meshgrid(*[np.arange(int(kk)) for kk in k],
+                                indexing="ij"), -1).reshape(-1, 3)
+    T = taps.shape[0]
+    gather_idx = np.zeros((T, max_out), np.int32)
+    found = np.zeros((T, max_out), bool)
+    for t in range(T):
+        ic = out_coords * s[None, :] + taps[t][None, :] - p[None, :]
+        ok = out_valid & (ic >= 0).all(-1) & (ic[:, 0] < D) \
+            & (ic[:, 1] < H) & (ic[:, 2] < W)
+        for o in np.nonzero(ok)[0]:
+            key = (int(ic[o, 0]) * H + int(ic[o, 1])) * W + int(ic[o, 2])
+            j = table.get(key)
+            if j is not None:
+                gather_idx[t, o] = j
+                found[t, o] = True
+    return out_coords, out_valid, gather_idx, found, num_out
+
+
+def subm_rulebook(coords: np.ndarray, grid, kernel=(3, 3, 3)):
+    """Native-if-available submanifold rulebook."""
+    if not native.AVAILABLE:
+        return subm_rulebook_np(coords, grid, kernel)
+    lib = native._load()
+    coords = np.ascontiguousarray(coords, np.int32)
+    N = coords.shape[0]
+    K = int(np.prod(kernel))
+    gather_idx = np.empty((K, N), np.int32)
+    found = np.empty((K, N), np.uint8)
+    lib.abr_subm_rulebook(coords, N, np.asarray(grid, np.int32),
+                          np.asarray(kernel, np.int32), gather_idx, found)
+    return gather_idx, found.astype(bool)
+
+
+def strided_layout(coords: np.ndarray, grid, kernel, stride, pad,
+                   max_out: int):
+    """Native-if-available strided layout + rulebook."""
+    if not native.AVAILABLE:
+        return strided_layout_np(coords, grid, kernel, stride, pad, max_out)
+    lib = native._load()
+    coords = np.ascontiguousarray(coords, np.int32)
+    N = coords.shape[0]
+    T = int(np.prod(kernel))
+    out_coords = np.empty((max_out, 3), np.int32)
+    out_valid = np.empty((max_out,), np.uint8)
+    gather_idx = np.empty((T, max_out), np.int32)
+    found = np.empty((T, max_out), np.uint8)
+    num_out = lib.abr_strided_layout(
+        coords, N, np.asarray(grid, np.int32), np.asarray(kernel, np.int32),
+        np.asarray(stride, np.int32), np.asarray(pad, np.int32), max_out,
+        out_coords, out_valid, gather_idx, found)
+    return (out_coords, out_valid.astype(bool), gather_idx,
+            found.astype(bool), num_out)
+
+
+# ---------------------------------------------------------------------------
+# full middle-stack precompute + flat transport format
+# ---------------------------------------------------------------------------
+
+
+def build_middle_rulebooks(coords: np.ndarray,
+                           plan: Sequence[sc.BlockPlan]
+                           ) -> Dict[str, np.ndarray]:
+    """coords [V,3] (z,y,x; -1 pad) -> flat per-block rulebook dict.
+
+    Keys per block i: ``rb{i}_subm_idx`` [27,N] i32, ``rb{i}_subm_found``
+    [27,N] bool, ``rb{i}_out_coords`` [M,3] i32, ``rb{i}_out_valid`` [M]
+    bool, ``rb{i}_down_idx`` [27,M] i32, ``rb{i}_down_found`` [27,M] bool.
+    """
+    out: Dict[str, np.ndarray] = {}
+    cur = np.ascontiguousarray(coords, np.int32)
+    for i, blk in enumerate(plan):
+        gi, fo = subm_rulebook(cur, blk.grid, blk.kernel)
+        oc, ov, dgi, dfo, _ = strided_layout(
+            cur, blk.grid, blk.kernel, blk.stride, blk.pad, blk.out_cap)
+        out[f"rb{i}_subm_idx"] = gi
+        out[f"rb{i}_subm_found"] = fo
+        out[f"rb{i}_out_coords"] = oc
+        out[f"rb{i}_out_valid"] = ov
+        out[f"rb{i}_down_idx"] = dgi
+        out[f"rb{i}_down_found"] = dfo
+        cur = oc
+    return out
+
+
+def rulebook_keys(num_blocks: int) -> Tuple[str, ...]:
+    keys = []
+    for i in range(num_blocks):
+        keys += [f"rb{i}_subm_idx", f"rb{i}_subm_found",
+                 f"rb{i}_out_coords", f"rb{i}_out_valid",
+                 f"rb{i}_down_idx", f"rb{i}_down_found"]
+    return tuple(keys)
+
+
+def unflatten(flat: Dict[str, "np.ndarray"], num_blocks: int):
+    """Flat (possibly batch-stacked) dict -> per-block (rulebook, layout)
+    pairs as consumed by ``models.middle.SparseMiddle``."""
+    books = []
+    for i in range(num_blocks):
+        rb = sc.SubmanifoldRulebook(
+            gather_idx=flat[f"rb{i}_subm_idx"],
+            found=flat[f"rb{i}_subm_found"])
+        layout = sc.StridedSparseLayout(
+            out_coords=flat[f"rb{i}_out_coords"],
+            out_valid=flat[f"rb{i}_out_valid"],
+            gather_idx=flat[f"rb{i}_down_idx"],
+            found=flat[f"rb{i}_down_found"],
+            num_out=flat[f"rb{i}_out_valid"].sum(-1).astype("int32"))
+        books.append((rb, layout))
+    return tuple(books)
+
+
+def split_example(example: Dict[str, object]):
+    """Split an example/batch dict into (non-rulebook, rulebook) parts."""
+    rb = {k: v for k, v in example.items() if k.startswith("rb")}
+    rest = {k: v for k, v in example.items() if not k.startswith("rb")}
+    return rest, rb

@@ -48,6 +48,48 @@ def linearize(coords: jax.Array, grid_dhw: Tuple[int, int, int]) -> jax.Array:
     return jnp.where(ok, key, _INT32_MAX)
 
 
+class BlockPlan(NamedTuple):
+    """Static per-block geometry of a sparse middle stack.
+
+    Shared between the flax module (device builders) and the host C++/numpy
+    rulebook precompute so both produce identically-shaped rulebooks.
+    """
+
+    grid: Tuple[int, int, int]       # input grid (D, H, W)
+    out_grid: Tuple[int, int, int]   # grid after the strided conv
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    pad: Tuple[int, int, int]
+    in_cap: int                      # active-site capacity entering the block
+    out_cap: int                     # capacity after the strided conv
+    n_subm: int                      # submanifold convs before the downsample
+    cout: int
+
+
+def make_plan(grid_dhw: Tuple[int, int, int], v_cap: int,
+              num_filters, layers_per_block, z_strides, xy_strides,
+              capacity_shrink: float = 0.6,
+              min_capacity: int = 2048) -> Tuple[BlockPlan, ...]:
+    """The canonical conv plan for a SparseMiddle stack (see models/middle)."""
+    blocks = []
+    grid = tuple(int(g) for g in grid_dhw)
+    cap = int(v_cap)
+    kernel, pad = (3, 3, 3), (1, 1, 1)
+    for cout, n_subm, zs, xys in zip(num_filters, layers_per_block,
+                                     z_strides, xy_strides):
+        stride = (int(zs), int(xys), int(xys))
+        next_cap = max(int(cap * capacity_shrink), min(min_capacity, cap))
+        next_cap = ((next_cap + 127) // 128) * 128
+        out_grid = tuple((g + 2 * p - k) // s + 1 for g, p, k, s in zip(
+            grid, pad, kernel, stride))
+        blocks.append(BlockPlan(grid=grid, out_grid=out_grid, kernel=kernel,
+                                stride=stride, pad=pad, in_cap=cap,
+                                out_cap=next_cap, n_subm=int(n_subm),
+                                cout=int(cout)))
+        grid, cap = out_grid, next_cap
+    return tuple(blocks)
+
+
 class SubmanifoldRulebook(NamedTuple):
     gather_idx: jax.Array   # [K, N] input index per (offset, output site)
     found: jax.Array        # [K, N] bool

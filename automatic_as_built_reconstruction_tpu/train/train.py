@@ -51,9 +51,12 @@ class Bundle:
     def input_reader(self, training: bool, seed: int = 0):
         reader_cfg = (self.config.train_input_reader if training
                       else self.config.eval_input_reader)
+        v_cap = (int(reader_cfg.preprocess.max_number_of_voxels)
+                 or 12000)
+        plan = voxelnet_mod.middle_plan(self.model_cfg, v_cap)
         return input_reader_builder.build(
             reader_cfg, training, self.voxel_generator, self.target_assigner,
-            self.feature_map_size, seed=seed)
+            self.feature_map_size, seed=seed, middle_plan=plan)
 
 
 def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -88,16 +91,28 @@ def init_state(bundle: Bundle, rng_seed: int = 0, example=None,
     return state, tx
 
 
+def _middle_rulebooks(example, cfg):
+    """Pull host-precomputed rulebooks (rb* keys) out of an example."""
+    from ..ops import rulebook_host
+    _, rb_flat = rulebook_host.split_example(example)
+    if not rb_flat:
+        return None
+    return rulebook_host.unflatten(rb_flat, len(cfg.middle_num_filters))
+
+
 def make_train_step(bundle: Bundle, tx):
     model, cfg = bundle.model, bundle.model_cfg
 
     @jax.jit
     def train_step(state, example):
+        books = _middle_rulebooks(example, cfg)
+
         def loss_fn(params):
             preds, mut = model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 example["voxels"], example["num_points"],
                 example["coordinates"], train=True,
+                middle_rulebooks=books,
                 mutable=["batch_stats"])
             loss, metrics = voxelnet_mod.compute_loss(preds, example, cfg)
             return loss, (metrics, mut["batch_stats"])
@@ -131,10 +146,12 @@ def make_predict_fn(bundle: Bundle):
 
     @jax.jit
     def predict_fn(params, batch_stats, example):
+        books = _middle_rulebooks(example, cfg)
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats},
             example["voxels"], example["num_points"],
-            example["coordinates"], train=False)
+            example["coordinates"], train=False,
+            middle_rulebooks=books)
         return voxelnet_mod.predict(
             preds, example["anchors"], cfg,
             anchors_mask=example.get("anchors_mask"))

@@ -242,4 +242,153 @@ int abr_rotate_nms(const float* boxes, const float* scores, int64_t N,
   return kept;
 }
 
+// ---------------------------------------------------------------------------
+// Sparse-conv rulebook construction (host precompute for the TPU sparse
+// middle extractor — the role spconv's getIndicePairs plays on GPU
+// [ref: external spconv/src/spconv/indice.cu — lineage-expected,
+// UNVERIFIED]).  Semantics are bit-identical to the on-device builders in
+// ops/sparse_conv.py (build_submanifold_rulebook / build_strided_layout):
+// same offset enumeration order, same sorted-unique output ordering, same
+// truncation at max_out.  coords are [N,3] int32 (z,y,x); rows with z < 0
+// are padding.
+
+static inline int64_t lin_key(int32_t z, int32_t y, int32_t x,
+                              const int32_t* grid) {
+  if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1] || x < 0 ||
+      x >= grid[2])
+    return -1;
+  return ((int64_t)z * grid[1] + y) * grid[2] + x;
+}
+
+// coords [N,3] -> gather_idx [K,N] int32 + found [K,N] uint8 where
+// K = kz*ky*kx, offsets enumerated (dz slowest, dx fastest), each centered
+// (arange(k) - k//2).  gather_idx[k,i] = index j with coords[j] ==
+// coords[i] + offset[k]; 0 (masked) when absent.
+void abr_subm_rulebook(const int32_t* coords, int64_t N, const int32_t* grid,
+                       const int32_t* ksize, int32_t* gather_idx,
+                       uint8_t* found) {
+  std::unordered_map<int64_t, int32_t> table;
+  table.reserve((size_t)N * 2);
+  for (int64_t i = 0; i < N; ++i) {
+    const int32_t* c = coords + i * 3;
+    if (c[0] < 0) continue;
+    const int64_t key = lin_key(c[0], c[1], c[2], grid);
+    if (key >= 0) table.emplace(key, (int32_t)i);  // first wins (== stable
+                                                   // argsort + leftmost
+                                                   // searchsorted on device)
+  }
+  const int32_t kz = ksize[0], ky = ksize[1], kx = ksize[2];
+  int64_t k = 0;
+  for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
+    for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy)
+      for (int32_t dx = -(kx / 2); dx < kx - kx / 2; ++dx, ++k) {
+        int32_t* gi = gather_idx + k * N;
+        uint8_t* fo = found + k * N;
+        for (int64_t i = 0; i < N; ++i) {
+          const int32_t* c = coords + i * 3;
+          gi[i] = 0;
+          fo[i] = 0;
+          if (c[0] < 0) continue;
+          const int64_t key = lin_key(c[0] + dz, c[1] + dy, c[2] + dx, grid);
+          if (key < 0) continue;
+          auto it = table.find(key);
+          if (it != table.end()) {
+            gi[i] = it->second;
+            fo[i] = 1;
+          }
+        }
+      }
+}
+
+// Strided sparse conv output layout + rulebook.  Output site o (per dim)
+// receives input i iff o*s + t - p == i for some tap t in [0,k).  Output
+// sites are the sorted-unique linear keys of all touched sites, truncated
+// to max_out (ascending).  Taps enumerated (tz slowest, tx fastest).
+// Returns the (untruncated-capped) number of outputs.
+int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
+                       const int32_t* ksize, const int32_t* stride,
+                       const int32_t* pad, int64_t max_out,
+                       int32_t* out_coords, uint8_t* out_valid,
+                       int32_t* gather_idx, uint8_t* found) {
+  int32_t out_grid[3];
+  for (int d = 0; d < 3; ++d)
+    out_grid[d] = (grid[d] + 2 * pad[d] - ksize[d]) / stride[d] + 1;
+
+  // candidate output keys from every valid input
+  std::vector<int64_t> cand;
+  cand.reserve((size_t)N * 8);
+  for (int64_t i = 0; i < N; ++i) {
+    const int32_t* c = coords + i * 3;
+    if (c[0] < 0) continue;
+    int32_t lo[3], hi[3];
+    for (int d = 0; d < 3; ++d) {
+      const int32_t ip = c[d] + pad[d];
+      int32_t l = ip - ksize[d] + 1;
+      // ceil-div for possibly negative numerator
+      lo[d] = l >= 0 ? (l + stride[d] - 1) / stride[d] : -((-l) / stride[d]);
+      hi[d] = ip / stride[d];
+      if (lo[d] < 0) lo[d] = 0;
+      if (hi[d] >= out_grid[d]) hi[d] = out_grid[d] - 1;
+    }
+    for (int32_t oz = lo[0]; oz <= hi[0]; ++oz)
+      for (int32_t oy = lo[1]; oy <= hi[1]; ++oy)
+        for (int32_t ox = lo[2]; ox <= hi[2]; ++ox)
+          cand.push_back(((int64_t)oz * out_grid[1] + oy) * out_grid[2] + ox);
+  }
+  std::sort(cand.begin(), cand.end());
+  cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
+  const int64_t num_out =
+      std::min<int64_t>((int64_t)cand.size(), max_out);
+
+  for (int64_t o = 0; o < max_out; ++o) {
+    if (o < num_out) {
+      const int64_t key = cand[o];
+      out_coords[o * 3 + 0] = (int32_t)(key / ((int64_t)out_grid[1] *
+                                               out_grid[2]));
+      out_coords[o * 3 + 1] = (int32_t)((key / out_grid[2]) % out_grid[1]);
+      out_coords[o * 3 + 2] = (int32_t)(key % out_grid[2]);
+      out_valid[o] = 1;
+    } else {
+      out_coords[o * 3 + 0] = -1;
+      out_coords[o * 3 + 1] = -1;
+      out_coords[o * 3 + 2] = -1;
+      out_valid[o] = 0;
+    }
+  }
+
+  // input hash table for tap lookups
+  std::unordered_map<int64_t, int32_t> table;
+  table.reserve((size_t)N * 2);
+  for (int64_t i = 0; i < N; ++i) {
+    const int32_t* c = coords + i * 3;
+    if (c[0] < 0) continue;
+    const int64_t key = lin_key(c[0], c[1], c[2], grid);
+    if (key >= 0) table.emplace(key, (int32_t)i);
+  }
+
+  int64_t t = 0;
+  for (int32_t tz = 0; tz < ksize[0]; ++tz)
+    for (int32_t ty = 0; ty < ksize[1]; ++ty)
+      for (int32_t tx = 0; tx < ksize[2]; ++tx, ++t) {
+        int32_t* gi = gather_idx + t * max_out;
+        uint8_t* fo = found + t * max_out;
+        for (int64_t o = 0; o < max_out; ++o) {
+          gi[o] = 0;
+          fo[o] = 0;
+          if (o >= num_out) continue;
+          const int32_t iz = out_coords[o * 3 + 0] * stride[0] + tz - pad[0];
+          const int32_t iy = out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
+          const int32_t ix = out_coords[o * 3 + 2] * stride[2] + tx - pad[2];
+          const int64_t key = lin_key(iz, iy, ix, grid);
+          if (key < 0) continue;
+          auto it = table.find(key);
+          if (it != table.end()) {
+            gi[o] = it->second;
+            fo[o] = 1;
+          }
+        }
+      }
+  return (int)num_out;
+}
+
 }  // extern "C"

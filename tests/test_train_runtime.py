@@ -100,10 +100,33 @@ eval_input_reader: {
 """
 
 
+SPARSE_MICRO_CONFIG = MICRO_CONFIG.replace(
+    'module_class_name: "PillarFeatureNet"',
+    'module_class_name: "SimpleVoxel"',
+).replace(
+    'voxel_size: [0.5, 0.5, 3.6]',
+    'voxel_size: [0.5, 0.5, 0.45]',   # gz=8 -> a real 3D sparse grid
+).replace(
+    '''module_class_name: "PointPillarsScatter"
+      downsample_factor: 2''',
+    '''module_class_name: "SpMiddleFHD"
+      num_filters_down1: [8]
+      num_filters_down2: [8]
+      downsample_factor: 8''',
+)
+
+
 @pytest.fixture(scope="module")
 def micro_cfg_path(tmp_path_factory):
     p = tmp_path_factory.mktemp("cfg") / "micro.config"
     p.write_text(MICRO_CONFIG)
+    return p
+
+
+@pytest.fixture(scope="module")
+def sparse_micro_cfg_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "micro_sparse.config"
+    p.write_text(SPARSE_MICRO_CONFIG)
     return p
 
 
@@ -134,6 +157,31 @@ class TestTrainRuntime:
         state = train_mod.train(micro_cfg_path, model_dir, max_steps=2,
                                 display_step=1, resume=False)
         assert int(state["step"]) == 2
+
+
+class TestSparseTrainRuntime:
+    """SECOND-style sparse middle end-to-end, with host-precomputed
+    rulebooks flowing input pipeline -> batch -> jit step."""
+
+    def test_host_rulebooks_reach_the_batch(self, sparse_micro_cfg_path):
+        from automatic_as_built_reconstruction_tpu.data import batching
+        bundle = train_mod.Bundle(sparse_micro_cfg_path)
+        assert bundle.model_cfg.middle_name == "SpMiddleFHD"
+        _, loader = bundle.input_reader(training=True)
+        batch = next(iter(loader))
+        example = batching.device_example(batch)
+        assert "rb0_subm_idx" in example
+        assert example["rb0_subm_idx"].shape == (1, 27, 256)
+        assert "rb1_out_valid" in example
+
+    def test_train_eval_sparse(self, sparse_micro_cfg_path, tmp_path):
+        model_dir = tmp_path / "sparse_run"
+        state = train_mod.train(sparse_micro_cfg_path, model_dir,
+                                max_steps=2, display_step=1)
+        assert int(state["step"]) == 2
+        result = train_mod.evaluate(sparse_micro_cfg_path, model_dir)
+        assert "mAP.bev" in result
+        assert np.isfinite(result["mAP.bev"])
 
 
 class TestPodFromCheckpoint:
