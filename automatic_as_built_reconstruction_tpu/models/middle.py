@@ -85,12 +85,14 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask, *, train: bool):
         C = x.shape[-1]
+        in_dtype = x.dtype
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
+        x = x.astype(jnp.float32)   # stats + normalization in fp32
         if train:
             m = mask[..., None].astype(jnp.float32)
             cnt = jnp.maximum(m.sum(), 1.0)
@@ -104,7 +106,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0).astype(in_dtype)
 
 
 def _sparse_kernel_init(key, shape, dtype=jnp.float32):
@@ -135,6 +137,9 @@ class SparseMiddle(nn.Module):
     # rulebook/layout construction cost scales with the padded capacity)
     capacity_shrink: float = 0.6
     min_capacity: int = 2048
+    # compute dtype for gathers + GEMMs (bfloat16 halves the gather
+    # bandwidth and runs the GEMMs at MXU rate; BN stats stay fp32)
+    dtype: jnp.dtype = jnp.float32
 
     def _conv_params(self, name, k, cin, cout):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
@@ -157,7 +162,7 @@ class SparseMiddle(nn.Module):
         getIndicePairs precompute).  When absent they are built on device.
         """
         B, V, F = voxel_features.shape
-        feats = voxel_features
+        feats = voxel_features.astype(self.dtype)
         cur_coords = coords
         valid = coords[..., 0] >= 0
         cin = F
@@ -179,7 +184,7 @@ class SparseMiddle(nn.Module):
                 w = self._conv_params(f"b{bi}_subm{li}", 27, cin, blk.cout)
                 feats = jax.vmap(sc.submanifold_conv,
                                  in_axes=(0, 0, None, None, 0))(
-                    feats, rb, w, None, valid)
+                    feats, rb, w.astype(self.dtype), None, valid)
                 feats = MaskedBatchNorm(name=f"b{bi}_subm{li}_bn")(
                     feats, valid, train=train)
                 feats = nn.relu(feats) * valid[..., None]
@@ -187,7 +192,8 @@ class SparseMiddle(nn.Module):
             # strided downsample conv
             w = self._conv_params(f"b{bi}_down", 27, cin, blk.cout)
             feats = jax.vmap(sc.strided_sparse_conv,
-                             in_axes=(0, 0, None))(feats, layout, w)
+                             in_axes=(0, 0, None))(feats, layout,
+                                                   w.astype(self.dtype))
             cur_coords = layout.out_coords
             valid = layout.out_valid
             feats = MaskedBatchNorm(name=f"b{bi}_down_bn")(

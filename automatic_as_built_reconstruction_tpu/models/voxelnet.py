@@ -158,13 +158,18 @@ class VoxelNet(nn.Module):
         else:
             middle_cls = MIDDLE_REGISTRY[cfg.middle_name]
             grid_dhw = (cfg.grid_size[2], cfg.grid_size[1], cfg.grid_size[0])
+            kwargs = {}
+            if middle_cls is SparseMiddle:
+                kwargs["dtype"] = (jnp.bfloat16
+                                   if cfg.compute_dtype == "bfloat16"
+                                   else jnp.float32)
             middle = middle_cls(
                 grid_dhw=grid_dhw,
                 num_input_features=voxel_features.shape[-1],
                 num_filters=cfg.middle_num_filters,
                 layers_per_block=cfg.middle_layers_per_block,
                 z_strides=cfg.middle_z_strides,
-                xy_strides=cfg.middle_xy_strides)
+                xy_strides=cfg.middle_xy_strides, **kwargs)
             if isinstance(middle, SparseMiddle):
                 spatial = middle(voxel_features, coords, train=train,
                                  rulebooks=middle_rulebooks)

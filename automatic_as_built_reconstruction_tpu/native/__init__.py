@@ -61,6 +61,13 @@ def _load():
     lib.abr_strided_layout.restype = ctypes.c_int
     lib.abr_strided_layout.argtypes = [ip32, i64, ip32, ip32, ip32, ip32,
                                        i64, ip32, up, ip32, up]
+    ip8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.abr_eval_tp_scores.restype = ctypes.c_int
+    lib.abr_eval_tp_scores.argtypes = [fp, i64, i64, ip8, ip8, fp, f32, fp]
+    lib.abr_eval_statistics.restype = None
+    lib.abr_eval_statistics.argtypes = [fp, i64, i64, ip8, ip8, fp, fp, i64,
+                                        fp, fp, ctypes.c_int, f32, fp, i64,
+                                        ip32, ip32, ip32, fp]
     _lib = lib
     return lib
 
@@ -111,6 +118,43 @@ def rotate_iou(boxes, qboxes, criterion: int = -1) -> np.ndarray:
     lib.abr_rotate_iou(boxes, len(boxes), qboxes, len(qboxes), criterion,
                        out)
     return out
+
+
+def eval_tp_scores(overlaps, ignored_gt, ignored_det, dt_scores,
+                   min_overlap: float) -> np.ndarray:
+    """Devkit pass 1 for one image: scores of matched TPs."""
+    lib = _load()
+    overlaps = np.ascontiguousarray(overlaps, np.float32)
+    D, G = overlaps.shape
+    out = np.empty((D,), np.float32)
+    n = lib.abr_eval_tp_scores(
+        overlaps, D, G, np.ascontiguousarray(ignored_gt, np.int8),
+        np.ascontiguousarray(ignored_det, np.int8),
+        np.ascontiguousarray(dt_scores, np.float32),
+        np.float32(min_overlap), out)
+    return out[:n]
+
+
+def eval_statistics(overlaps, ignored_gt, ignored_det, dt_scores,
+                    dc_overlap, gt_alpha, dt_alpha, compute_aos: bool,
+                    min_overlap: float, thresholds,
+                    tp, fp, fn, sim) -> None:
+    """Devkit pass 2 for one image: accumulate tp/fp/fn/sim per threshold."""
+    lib = _load()
+    overlaps = np.ascontiguousarray(overlaps, np.float32)
+    D, G = overlaps.shape
+    dc_overlap = np.ascontiguousarray(dc_overlap, np.float32)
+    NDC = dc_overlap.shape[1] if dc_overlap.size else 0
+    thresholds = np.ascontiguousarray(thresholds, np.float32)
+    lib.abr_eval_statistics(
+        overlaps, D, G, np.ascontiguousarray(ignored_gt, np.int8),
+        np.ascontiguousarray(ignored_det, np.int8),
+        np.ascontiguousarray(dt_scores, np.float32),
+        dc_overlap.reshape(D, NDC) if NDC else np.zeros((D, 0), np.float32),
+        NDC, np.ascontiguousarray(gt_alpha, np.float32),
+        np.ascontiguousarray(dt_alpha, np.float32), int(compute_aos),
+        np.float32(min_overlap), thresholds, len(thresholds), tp, fp, fn,
+        sim)
 
 
 def rotate_nms(boxes, scores, iou_threshold: float,

@@ -243,6 +243,152 @@ int abr_rotate_nms(const float* boxes, const float* scores, int64_t N,
 }
 
 // ---------------------------------------------------------------------------
+// KITTI devkit evaluation statistics (the computeStatistics inner loop of
+// the official evaluate_object protocol [ref: second/utils/eval.py::
+// compute_statistics_jit — lineage-expected, UNVERIFIED; semantics follow
+// the published KITTI devkit]).  Native because the per-threshold matching
+// sweep is O(images * thresholds * dets * gts) and the reference numba-jits
+// it; exactness is the contract (scenario-traced in tests).
+//
+// Inputs per image:
+//   overlaps    [D, G] f32 — detection x gt overlap for the metric
+//   ignored_gt  [G] i8    — 0 counted, 1 ignored, -1 other class
+//   ignored_det [D] i8    — 0 counted, 1 height-ignored, -1 other class
+//   dt_scores   [D] f32
+//   dc_overlap  [D, NDC] f32 — criterion-0 image overlap det vs DontCare
+//   gt_alpha [G] / dt_alpha [D] — observation angles (AOS; pass aos=0 to skip)
+//   thresholds  [T] f32 — score cutoffs (one statistics pass per entry)
+// Accumulates (+=) into tp/fp/fn/sim [T].
+//
+// First pass (threshold selection) = T==0 path: writes the scores of
+// matched TPs into tp_scores (capacity D) and returns the count.
+
+static void eval_stats_one(const float* overlaps, int64_t D, int64_t G,
+                           const int8_t* ignored_gt,
+                           const int8_t* ignored_det, const float* dt_scores,
+                           const float* dc_overlap, int64_t NDC,
+                           const float* gt_alpha, const float* dt_alpha,
+                           int aos, float min_overlap, float thresh,
+                           bool compute_fp, int32_t* tp, int32_t* fp,
+                           int32_t* fn, float* sim, float* tp_scores,
+                           int32_t* n_tp_scores) {
+  const float NO_DETECTION = -10000000.0f;
+  std::vector<uint8_t> assigned(D, 0);
+  std::vector<uint8_t> ignored_threshold(D, 0);
+  if (compute_fp)
+    for (int64_t j = 0; j < D; ++j)
+      if (dt_scores[j] < thresh) ignored_threshold[j] = 1;
+
+  int32_t l_tp = 0, l_fp = 0, l_fn = 0;
+  float l_sim = 0.0f;
+  int32_t n_delta = 0;
+
+  for (int64_t i = 0; i < G; ++i) {
+    if (ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    float valid_detection = NO_DETECTION;
+    float max_overlap = 0.0f;
+    bool assigned_ignored_det = false;
+
+    for (int64_t j = 0; j < D; ++j) {
+      if (ignored_det[j] == -1) continue;
+      if (assigned[j]) continue;
+      if (ignored_threshold[j]) continue;
+      const float overlap = overlaps[j * G + i];
+      const float score = dt_scores[j];
+      if (!compute_fp && overlap > min_overlap && score > valid_detection) {
+        det_idx = j;
+        valid_detection = score;
+      } else if (compute_fp && overlap > min_overlap &&
+                 (overlap > max_overlap || assigned_ignored_det) &&
+                 ignored_det[j] == 0) {
+        max_overlap = overlap;
+        det_idx = j;
+        valid_detection = 1.0f;
+        assigned_ignored_det = false;
+      } else if (compute_fp && overlap > min_overlap &&
+                 valid_detection == NO_DETECTION && ignored_det[j] == 1) {
+        det_idx = j;
+        valid_detection = 1.0f;
+        assigned_ignored_det = true;
+      }
+    }
+
+    if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+      ++l_fn;
+    } else if (valid_detection != NO_DETECTION &&
+               (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = 1;
+    } else if (valid_detection != NO_DETECTION) {
+      ++l_tp;
+      if (tp_scores) tp_scores[(*n_tp_scores)++] = dt_scores[det_idx];
+      if (aos) {
+        l_sim += 0.5f * (1.0f + std::cos((double)gt_alpha[i] -
+                                         (double)dt_alpha[det_idx]));
+        ++n_delta;
+      }
+      assigned[det_idx] = 1;
+    }
+  }
+
+  if (compute_fp) {
+    for (int64_t j = 0; j < D; ++j) {
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j]))
+        ++l_fp;
+    }
+    int32_t nstuff = 0;
+    for (int64_t k = 0; k < NDC; ++k) {
+      for (int64_t j = 0; j < D; ++j) {
+        if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j])
+          continue;
+        if (dc_overlap[j * NDC + k] > min_overlap) {
+          assigned[j] = 1;
+          ++nstuff;
+        }
+      }
+    }
+    l_fp -= nstuff;
+  }
+  *tp += l_tp;
+  *fp += l_fp;
+  *fn += l_fn;
+  if (aos && (l_tp > 0 || l_fp > 0)) *sim += l_sim;
+  (void)n_delta;
+}
+
+// Pass 1: collect TP scores (thresh=0, no fp).  Returns count written.
+int abr_eval_tp_scores(const float* overlaps, int64_t D, int64_t G,
+                       const int8_t* ignored_gt, const int8_t* ignored_det,
+                       const float* dt_scores, float min_overlap,
+                       float* tp_scores) {
+  int32_t n = 0, tp = 0, fp = 0, fn = 0;
+  float sim = 0;
+  eval_stats_one(overlaps, D, G, ignored_gt, ignored_det, dt_scores,
+                 nullptr, 0, nullptr, nullptr, 0, min_overlap, 0.0f,
+                 /*compute_fp=*/false, &tp, &fp, &fn, &sim, tp_scores, &n);
+  return n;
+}
+
+// Pass 2: accumulate tp/fp/fn/sim per threshold for one image.
+void abr_eval_statistics(const float* overlaps, int64_t D, int64_t G,
+                         const int8_t* ignored_gt,
+                         const int8_t* ignored_det, const float* dt_scores,
+                         const float* dc_overlap, int64_t NDC,
+                         const float* gt_alpha, const float* dt_alpha,
+                         int aos, float min_overlap,
+                         const float* thresholds, int64_t T, int32_t* tp,
+                         int32_t* fp, int32_t* fn, float* sim) {
+  for (int64_t t = 0; t < T; ++t) {
+    eval_stats_one(overlaps, D, G, ignored_gt, ignored_det, dt_scores,
+                   dc_overlap, NDC, gt_alpha, dt_alpha, aos, min_overlap,
+                   thresholds[t], /*compute_fp=*/true, tp + t, fp + t,
+                   fn + t, sim + t, nullptr, nullptr);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Sparse-conv rulebook construction (host precompute for the TPU sparse
 // middle extractor — the role spconv's getIndicePairs plays on GPU
 // [ref: external spconv/src/spconv/indice.cu — lineage-expected,
@@ -260,6 +406,58 @@ static inline int64_t lin_key(int32_t z, int32_t y, int32_t x,
   return ((int64_t)z * grid[1] + y) * grid[2] + x;
 }
 
+// Open-addressing hash table (linear probing, power-of-two capacity) —
+// ~4x faster than std::unordered_map for these build-once/query-many
+// coord tables.  Keys are non-negative linear voxel keys; empty = -1.
+struct CoordTable {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask;
+
+  explicit CoordTable(int64_t n) {
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(n * 2 + 1)) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.resize(cap);
+    mask = cap - 1;
+  }
+  static inline uint64_t hash(int64_t k) {
+    uint64_t h = (uint64_t)k;
+    h ^= h >> 33; h *= 0xff51afd7ed558ccdULL; h ^= h >> 33;
+    return h;
+  }
+  // first-wins insert (matches the device's stable-argsort semantics)
+  inline void insert(int64_t key, int32_t val) {
+    uint64_t i = hash(key) & mask;
+    while (keys[i] != -1) {
+      if (keys[i] == key) return;
+      i = (i + 1) & mask;
+    }
+    keys[i] = key;
+    vals[i] = val;
+  }
+  inline int32_t find(int64_t key) const {   // -1 when absent
+    uint64_t i = hash(key) & mask;
+    while (keys[i] != -1) {
+      if (keys[i] == key) return vals[i];
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+static CoordTable build_coord_table(const int32_t* coords, int64_t N,
+                                    const int32_t* grid) {
+  CoordTable table(N);
+  for (int64_t i = 0; i < N; ++i) {
+    const int32_t* c = coords + i * 3;
+    if (c[0] < 0) continue;
+    const int64_t key = lin_key(c[0], c[1], c[2], grid);
+    if (key >= 0) table.insert(key, (int32_t)i);
+  }
+  return table;
+}
+
 // coords [N,3] -> gather_idx [K,N] int32 + found [K,N] uint8 where
 // K = kz*ky*kx, offsets enumerated (dz slowest, dx fastest), each centered
 // (arange(k) - k//2).  gather_idx[k,i] = index j with coords[j] ==
@@ -267,16 +465,7 @@ static inline int64_t lin_key(int32_t z, int32_t y, int32_t x,
 void abr_subm_rulebook(const int32_t* coords, int64_t N, const int32_t* grid,
                        const int32_t* ksize, int32_t* gather_idx,
                        uint8_t* found) {
-  std::unordered_map<int64_t, int32_t> table;
-  table.reserve((size_t)N * 2);
-  for (int64_t i = 0; i < N; ++i) {
-    const int32_t* c = coords + i * 3;
-    if (c[0] < 0) continue;
-    const int64_t key = lin_key(c[0], c[1], c[2], grid);
-    if (key >= 0) table.emplace(key, (int32_t)i);  // first wins (== stable
-                                                   // argsort + leftmost
-                                                   // searchsorted on device)
-  }
+  const CoordTable table = build_coord_table(coords, N, grid);
   const int32_t kz = ksize[0], ky = ksize[1], kx = ksize[2];
   int64_t k = 0;
   for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
@@ -291,9 +480,9 @@ void abr_subm_rulebook(const int32_t* coords, int64_t N, const int32_t* grid,
           if (c[0] < 0) continue;
           const int64_t key = lin_key(c[0] + dz, c[1] + dy, c[2] + dx, grid);
           if (key < 0) continue;
-          auto it = table.find(key);
-          if (it != table.end()) {
-            gi[i] = it->second;
+          const int32_t j = table.find(key);
+          if (j >= 0) {
+            gi[i] = j;
             fo[i] = 1;
           }
         }
@@ -357,14 +546,7 @@ int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
   }
 
   // input hash table for tap lookups
-  std::unordered_map<int64_t, int32_t> table;
-  table.reserve((size_t)N * 2);
-  for (int64_t i = 0; i < N; ++i) {
-    const int32_t* c = coords + i * 3;
-    if (c[0] < 0) continue;
-    const int64_t key = lin_key(c[0], c[1], c[2], grid);
-    if (key >= 0) table.emplace(key, (int32_t)i);
-  }
+  const CoordTable table = build_coord_table(coords, N, grid);
 
   int64_t t = 0;
   for (int32_t tz = 0; tz < ksize[0]; ++tz)
@@ -381,9 +563,9 @@ int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
           const int32_t ix = out_coords[o * 3 + 2] * stride[2] + tx - pad[2];
           const int64_t key = lin_key(iz, iy, ix, grid);
           if (key < 0) continue;
-          auto it = table.find(key);
-          if (it != table.end()) {
-            gi[o] = it->second;
+          const int32_t j = table.find(key);
+          if (j >= 0) {
+            gi[o] = j;
             fo[o] = 1;
           }
         }

@@ -144,14 +144,18 @@ class TestKittiPipeline:
             sd["lidar"]["points"], boxes).sum(0)
         assert (counts > 100).all()
 
-        # perfect detections -> AP 100 at every difficulty with gt
+        # perfect detections: under the exact devkit protocol 2 TPs fill
+        # only 2 of 41 recall slots -> thresholds [0.9, 0.8], precision
+        # [1, 1, 0...] -> AP11 = 100/11, AP40 = 100/40 (devkit-traced)
         dets = [{"box3d_lidar": boxes.astype(np.float64),
                  "scores": np.array([0.9, 0.8]),
                  "label_preds": np.array([0, 0])}]
         result = ds.evaluation(dets)
-        assert result["Car.bbox.easy"] == pytest.approx(100.0, abs=0.5)
-        assert result["Car.3d.easy"] == pytest.approx(100.0, abs=0.5)
-        assert result["Car.bev.easy"] == pytest.approx(100.0, abs=0.5)
+        for metric in ("bbox", "bev", "3d"):
+            assert result[f"Car.{metric}.easy"] == pytest.approx(
+                100.0 / 11, abs=1e-6), metric
+            assert result[f"Car.{metric}.easy.R40"] == pytest.approx(
+                100.0 / 40, abs=1e-6), metric
         assert "Car AP" in result["result_str"]
 
 
