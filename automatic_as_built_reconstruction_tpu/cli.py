@@ -15,9 +15,20 @@
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def _honor_cpu_platform_request():
+    """Honor JAX_PLATFORMS=cpu even where a sitecustomize force-registers
+    an accelerator plugin after the env var is read (virtual multi-device
+    CPU meshes need this; see __graft_entry__.dryrun_multichip)."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 
 def main(argv=None):
+    _honor_cpu_platform_request()
     parser = argparse.ArgumentParser(prog="abr_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -28,6 +39,8 @@ def main(argv=None):
     p_train.add_argument("--display_step", type=int, default=50)
     p_train.add_argument("--seed", type=int, default=0)
     p_train.add_argument("--no-resume", dest="resume", action="store_false")
+    p_train.add_argument("--num_devices", type=int, default=None,
+                         help="data-parallel over N devices (1-D mesh)")
 
     p_eval = sub.add_parser("evaluate", help="evaluate latest checkpoint")
     p_eval.add_argument("--config_path", required=True)
@@ -35,6 +48,8 @@ def main(argv=None):
     p_eval.add_argument("--ckpt_step", type=int, default=None)
     p_eval.add_argument("--output_dir", default=None)
     p_eval.add_argument("--measure_time", action="store_true")
+    p_eval.add_argument("--num_devices", type=int, default=None,
+                        help="batch-shard inference over N devices")
 
     p_bprep = sub.add_parser("building_data_prep",
                              help="generate synthetic building scans + infos"
@@ -60,13 +75,14 @@ def main(argv=None):
         from .train.train import train
         train(args.config_path, args.model_dir, resume=args.resume,
               max_steps=args.max_steps, display_step=args.display_step,
-              seed=args.seed)
+              seed=args.seed, num_devices=args.num_devices)
     elif args.command == "evaluate":
         from .train.train import evaluate
         result = evaluate(args.config_path, args.model_dir,
                           ckpt_step=args.ckpt_step,
                           output_dir=args.output_dir,
-                          measure_time=args.measure_time)
+                          measure_time=args.measure_time,
+                          num_devices=args.num_devices)
         if "result_str" in result:
             print(result["result_str"])
         else:

@@ -9,6 +9,7 @@ eval.
 """
 from __future__ import annotations
 
+import functools
 import json
 import pathlib
 import time
@@ -18,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..builder import (box_coder_builder, config_io, input_reader_builder,
                        optimizer_builder, second_builder,
@@ -59,8 +61,24 @@ class Bundle:
             self.feature_map_size, seed=seed, middle_plan=plan)
 
 
-def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+def make_mesh(num_devices: Optional[int]) -> Optional[Mesh]:
+    """1-D ``data`` mesh over the first ``num_devices`` devices (or None
+    for the plain single-device path)."""
+    if not num_devices or num_devices <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < num_devices:
+        raise ValueError(
+            f"requested {num_devices} devices, only {len(devices)} visible")
+    return Mesh(np.asarray(devices[:num_devices]), ("data",))
+
+
+def _to_device(batch: Dict[str, np.ndarray],
+               mesh: Optional[Mesh] = None) -> Dict[str, jnp.ndarray]:
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
 
 
 def init_state(bundle: Bundle, rng_seed: int = 0, example=None,
@@ -100,10 +118,20 @@ def _middle_rulebooks(example, cfg):
     return rulebook_host.unflatten(rb_flat, len(cfg.middle_num_filters))
 
 
-def make_train_step(bundle: Bundle, tx):
+def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):
+    """Jit-compiled train step; with ``mesh`` it is data-parallel over the
+    ``data`` axis (batch-sharded example, replicated state, XLA-inserted
+    psum for the grads — the trainer-integrated DP path the reference
+    never had [ref: SURVEY.md §2.8])."""
     model, cfg = bundle.model, bundle.model_cfg
 
-    @jax.jit
+    jit_kwargs = dict(donate_argnums=(0,))
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jit_kwargs.update(in_shardings=(repl, data), out_shardings=(repl, repl))
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def train_step(state, example):
         books = _middle_rulebooks(example, cfg)
 
@@ -141,10 +169,17 @@ def clip_by_global_norm(grads, max_norm: float):
     return jax.tree.map(lambda g: g * scale, grads)
 
 
-def make_predict_fn(bundle: Bundle):
+def make_predict_fn(bundle: Bundle, mesh: Optional[Mesh] = None):
     model, cfg = bundle.model, bundle.model_cfg
 
-    @jax.jit
+    jit_kwargs = {}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jit_kwargs.update(in_shardings=(repl, repl, data),
+                          out_shardings=data)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def predict_fn(params, batch_stats, example):
         books = _middle_rulebooks(example, cfg)
         preds = model.apply(
@@ -184,13 +219,26 @@ class MetricsLogger:
 
 def train(config_path, model_dir, *, resume: bool = True,
           max_steps: Optional[int] = None, display_step: int = 50,
-          seed: int = 0):
-    """Full training loop with checkpoint/resume and in-loop eval."""
+          seed: int = 0, num_devices: Optional[int] = None):
+    """Full training loop with checkpoint/resume and in-loop eval.
+
+    ``num_devices > 1`` trains data-parallel over a 1-D device mesh:
+    batch-sharded inputs, replicated state, XLA collectives over ICI.
+    The global batch (``train_input_reader.batch_size``) must divide by
+    ``num_devices``; loss and updates match the single-device program.
+    """
     model_dir = pathlib.Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
     bundle = Bundle(config_path)
     config_io.save_config(bundle.config, model_dir / "pipeline.config")
     logger = MetricsLogger(model_dir)
+    mesh = make_mesh(num_devices)
+    if mesh is not None:
+        bs = int(bundle.config.train_input_reader.batch_size) or 1
+        if bs % mesh.size:
+            raise ValueError(f"batch_size {bs} not divisible by "
+                             f"num_devices {mesh.size}")
+        logger.text(f"data-parallel training over {mesh.size} devices")
 
     _, loader = bundle.input_reader(training=True, seed=seed)
     total_steps = max_steps or int(bundle.config.train_config.steps) or 1000
@@ -206,8 +254,10 @@ def train(config_path, model_dir, *, resume: bool = True,
             state = mgr.restore(state, latest)
             start_step = int(latest)
             logger.text(f"resumed from checkpoint at step {start_step}")
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    train_step = make_train_step(bundle, tx)
+    train_step = make_train_step(bundle, tx, mesh=mesh)
     save_secs = int(bundle.config.train_config.save_checkpoints_secs) or 1800
     steps_per_eval = int(bundle.config.train_config.steps_per_eval) or 0
 
@@ -219,7 +269,7 @@ def train(config_path, model_dir, *, resume: bool = True,
         for batch in loader:
             if step >= total_steps:
                 break
-            example = _to_device(batching.device_example(batch))
+            example = _to_device(batching.device_example(batch), mesh)
             state, metrics = train_step(state, example)
             step += 1
             for k, v in metrics.items():
@@ -253,15 +303,18 @@ def train(config_path, model_dir, *, resume: bool = True,
 
 def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
              bundle: Optional[Bundle] = None, state=None,
-             output_dir=None, measure_time: bool = False):
+             output_dir=None, measure_time: bool = False,
+             num_devices: Optional[int] = None):
     """Run eval split through predict + the dataset's official eval.
 
     ``measure_time`` reports per-stage wall time (host prep+feed, device
     network+predict, host convert) like the reference's ``--measure_time``
-    [ref: second/pytorch/train.py].
+    [ref: second/pytorch/train.py].  ``num_devices > 1`` batch-shards
+    inference over a 1-D device mesh.
     """
     bundle = bundle or Bundle(config_path)
     prep_ds, loader = bundle.input_reader(training=False)
+    mesh = make_mesh(num_devices)
     if state is None:
         state, _ = init_state(bundle)
         restored, step = ckpt_mod.try_restore_latest(model_dir, state)
@@ -270,14 +323,17 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
             print(f"evaluating checkpoint at step {step}")
         else:
             print("WARNING: no checkpoint found; evaluating random weights")
-    predict_fn = make_predict_fn(bundle)
+    if mesh is not None:
+        state = jax.device_put(jax.device_get(state),
+                               NamedSharding(mesh, P()))
+    predict_fn = make_predict_fn(bundle, mesh=mesh)
 
     timers = {"host_feed": 0.0, "device": 0.0, "convert": 0.0}
     detections = []
     nb = 0
     t0 = time.perf_counter()
     for batch in loader:
-        example = _to_device(batching.device_example(batch))
+        example = _to_device(batching.device_example(batch), mesh)
         t1 = time.perf_counter()
         out = predict_fn(state["params"], state["batch_stats"], example)
         out = jax.device_get(out)

@@ -204,3 +204,41 @@ class TestPodFromCheckpoint:
         dets = pod.detections_list(out)
         assert len(dets) == 2
         assert all(np.isfinite(d["scores"]).all() for d in dets)
+
+
+class TestDataParallelTrainer:
+    """train()/evaluate() with num_devices: the real trainer on a mesh."""
+
+    @pytest.fixture(scope="class")
+    def dp_cfg_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("cfg") / "micro_dp.config"
+        p.write_text(MICRO_CONFIG.replace("batch_size: 1", "batch_size: 8"))
+        return p
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 (virtual) devices")
+    def test_dp_train_matches_single_device(self, dp_cfg_path, tmp_path):
+        s1 = train_mod.train(dp_cfg_path, tmp_path / "dp1", max_steps=2,
+                             display_step=1, num_devices=8)
+        s2 = train_mod.train(dp_cfg_path, tmp_path / "dp2", max_steps=2,
+                             display_step=1)
+        assert int(s1["step"]) == int(s2["step"]) == 2
+        flat1 = jax.tree.leaves(jax.device_get(s1["params"]))
+        flat2 = jax.tree.leaves(jax.device_get(s2["params"]))
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 (virtual) devices")
+    def test_dp_evaluate(self, dp_cfg_path, tmp_path):
+        train_mod.train(dp_cfg_path, tmp_path / "dpe", max_steps=1,
+                        display_step=1, num_devices=8)
+        result = train_mod.evaluate(dp_cfg_path, tmp_path / "dpe",
+                                    num_devices=8)
+        assert "mAP.bev" in result
+        assert np.isfinite(result["mAP.bev"])
+
+    def test_batch_size_divisibility_check(self, micro_cfg_path, tmp_path):
+        with pytest.raises(ValueError, match="not divisible"):
+            train_mod.train(micro_cfg_path, tmp_path / "bad", max_steps=1,
+                            num_devices=8)
