@@ -172,11 +172,13 @@ class SparseMiddle(nn.Module):
             if rulebooks is not None:
                 rb, layout = rulebooks[bi]
             else:
+                # dense-LUT on-device construction (scatter/gather/cumsum
+                # bandwidth, no sorts) — ~10x the sort-based builders
                 rb = jax.vmap(functools.partial(
-                    sc.build_submanifold_rulebook, grid_dhw=blk.grid,
+                    sc.build_submanifold_rulebook_lut, grid_dhw=blk.grid,
                     kernel_size=blk.kernel))(cur_coords, valid)
                 layout = jax.vmap(functools.partial(
-                    sc.build_strided_layout, grid_dhw=blk.grid,
+                    sc.build_strided_layout_lut, grid_dhw=blk.grid,
                     kernel_size=blk.kernel, stride=blk.stride,
                     padding=blk.pad,
                     max_out=blk.out_cap))(cur_coords, valid)

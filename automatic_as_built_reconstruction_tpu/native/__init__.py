@@ -61,6 +61,9 @@ def _load():
     lib.abr_strided_layout.restype = ctypes.c_int
     lib.abr_strided_layout.argtypes = [ip32, i64, ip32, ip32, ip32, ip32,
                                        i64, ip32, up, ip32, up]
+    lib.abr_block_rulebooks.restype = ctypes.c_int
+    lib.abr_block_rulebooks.argtypes = [ip32, i64, ip32, ip32, ip32, ip32,
+                                        i64, ip32, up, ip32, up, ip32, up]
     ip8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lib.abr_eval_tp_scores.restype = ctypes.c_int
     lib.abr_eval_tp_scores.argtypes = [fp, i64, i64, ip8, ip8, fp, f32, fp]

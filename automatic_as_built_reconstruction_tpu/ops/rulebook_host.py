@@ -170,6 +170,34 @@ def strided_layout(coords: np.ndarray, grid, kernel, stride, pad,
 # ---------------------------------------------------------------------------
 
 
+def block_rulebooks(coords: np.ndarray, blk: sc.BlockPlan):
+    """One block's (subm rulebook, strided layout) in a single native call
+    (sort + two-pointer merges; the sorted key table is shared between the
+    submanifold taps and the downsample conv).  Falls back to the per-part
+    numpy twins when the native library is unavailable."""
+    if not native.AVAILABLE:
+        gi, fo = subm_rulebook_np(coords, blk.grid, blk.kernel)
+        oc, ov, dgi, dfo, _ = strided_layout_np(
+            coords, blk.grid, blk.kernel, blk.stride, blk.pad, blk.out_cap)
+        return gi, fo, oc, ov, dgi, dfo
+    lib = native._load()
+    coords = np.ascontiguousarray(coords, np.int32)
+    N = coords.shape[0]
+    K = int(np.prod(blk.kernel))
+    M = blk.out_cap
+    gi = np.empty((K, N), np.int32)
+    fo = np.empty((K, N), np.uint8)
+    oc = np.empty((M, 3), np.int32)
+    ov = np.empty((M,), np.uint8)
+    dgi = np.empty((K, M), np.int32)
+    dfo = np.empty((K, M), np.uint8)
+    lib.abr_block_rulebooks(
+        coords, N, np.asarray(blk.grid, np.int32),
+        np.asarray(blk.kernel, np.int32), np.asarray(blk.stride, np.int32),
+        np.asarray(blk.pad, np.int32), M, gi, fo, oc, ov, dgi, dfo)
+    return gi, fo.astype(bool), oc, ov.astype(bool), dgi, dfo.astype(bool)
+
+
 def build_middle_rulebooks(coords: np.ndarray,
                            plan: Sequence[sc.BlockPlan]
                            ) -> Dict[str, np.ndarray]:
@@ -182,9 +210,7 @@ def build_middle_rulebooks(coords: np.ndarray,
     out: Dict[str, np.ndarray] = {}
     cur = np.ascontiguousarray(coords, np.int32)
     for i, blk in enumerate(plan):
-        gi, fo = subm_rulebook(cur, blk.grid, blk.kernel)
-        oc, ov, dgi, dfo, _ = strided_layout(
-            cur, blk.grid, blk.kernel, blk.stride, blk.pad, blk.out_cap)
+        gi, fo, oc, ov, dgi, dfo = block_rulebooks(cur, blk)
         out[f"rb{i}_subm_idx"] = gi
         out[f"rb{i}_subm_found"] = fo
         out[f"rb{i}_out_coords"] = oc

@@ -573,4 +573,238 @@ int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
   return (int)num_out;
 }
 
+// ---------------------------------------------------------------------------
+// Combined per-block rulebook build — sort + two-pointer merge.
+//
+// The hash-table builders above cost ~25 ns/probe; this version exploits
+// that every kernel tap's query stream is the (bounds-checked) input key
+// stream plus a constant, hence already sorted: one sort of the active
+// keys serves every tap of both the submanifold rulebook and the strided
+// layout via sequential two-pointer merges (O(N) per tap, cache-friendly).
+// Semantics identical to abr_subm_rulebook + abr_strided_layout.
+
+namespace {
+
+struct SortedKeys {
+  std::vector<int64_t> keys;   // ascending, valid rows only
+  std::vector<int32_t> idx;    // original row per sorted key
+  std::vector<int32_t> cz, cy, cx;  // coords in sorted order (sequential)
+};
+
+SortedKeys sort_keys(const int32_t* coords, int64_t N, const int32_t* grid) {
+  SortedKeys s;
+  std::vector<std::pair<int64_t, int32_t>> kv;
+  kv.reserve(N);
+  for (int64_t i = 0; i < N; ++i) {
+    const int32_t* c = coords + i * 3;
+    if (c[0] < 0) continue;
+    const int64_t key = lin_key(c[0], c[1], c[2], grid);
+    if (key >= 0) kv.emplace_back(key, (int32_t)i);
+  }
+  std::sort(kv.begin(), kv.end());
+  const int64_t M = (int64_t)kv.size();
+  s.keys.resize(M); s.idx.resize(M);
+  s.cz.resize(M); s.cy.resize(M); s.cx.resize(M);
+  for (int64_t q = 0; q < M; ++q) {
+    s.keys[q] = kv[q].first;
+    const int32_t row = kv[q].second;
+    s.idx[q] = row;
+    s.cz[q] = coords[row * 3 + 0];
+    s.cy[q] = coords[row * 3 + 1];
+    s.cx[q] = coords[row * 3 + 2];
+  }
+  return s;
+}
+
+// One merge walk resolves THREE taps at once: for a fixed (dz, dy) the
+// dx in {-1, 0, +1} query keys are consecutive integers, so after
+// advancing the pointer to qkey-1 the three candidates sit in keys[j..j+2]
+// (keys are unique).  gi/fo are the [K, N] tap-major outputs; k is the
+// tap index of dx == -1.
+inline void merge_tap3(const SortedKeys& s, const int32_t* grid,
+                       int32_t dz, int32_t dy, int64_t k, int64_t N,
+                       int32_t* gi, uint8_t* fo) {
+  const int64_t M = (int64_t)s.keys.size();
+  const int64_t delta = ((int64_t)dz * grid[1] + dy) * grid[2];
+  const int32_t W = grid[2];
+  int64_t j = 0;
+  for (int64_t q = 0; q < M; ++q) {
+    const int32_t z = s.cz[q] + dz, y = s.cy[q] + dy;
+    if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1]) continue;
+    const int32_t x = s.cx[q];
+    const int64_t qbase = s.keys[q] + delta;   // key of dx == 0
+    while (j < M && s.keys[j] < qbase - 1) ++j;
+    const int32_t row = s.idx[q];
+    for (int64_t jj = j; jj < M && jj < j + 3 && s.keys[jj] <= qbase + 1;
+         ++jj) {
+      const int64_t d = s.keys[jj] - qbase;    // -1, 0, or +1
+      if (d < -1 || d > 1) continue;
+      const int32_t xq = x + (int32_t)d;
+      if (xq < 0 || xq >= W) continue;
+      gi[(k + d + 1) * N + row] = s.idx[jj];
+      fo[(k + d + 1) * N + row] = 1;
+    }
+  }
+}
+
+// Ascending set-bit scan over a bitmap of out_total cells.
+struct Bitmap {
+  std::vector<uint64_t> words;
+  explicit Bitmap(int64_t n) : words((size_t)((n + 63) / 64), 0) {}
+  inline void set(int64_t i) { words[i >> 6] |= (1ULL << (i & 63)); }
+};
+
+}  // namespace
+
+// One call builds everything models/middle.SparseMiddle needs for a block:
+// the submanifold rulebook over the input sites and the strided layout +
+// rulebook of the downsample conv.  Returns num_out of the strided conv.
+int abr_block_rulebooks(const int32_t* coords, int64_t N,
+                        const int32_t* grid, const int32_t* ksize,
+                        const int32_t* stride, const int32_t* pad,
+                        int64_t max_out, int32_t* subm_idx,
+                        uint8_t* subm_found, int32_t* out_coords,
+                        uint8_t* out_valid, int32_t* down_idx,
+                        uint8_t* down_found) {
+  const SortedKeys s = sort_keys(coords, N, grid);
+  const int32_t kz = ksize[0], ky = ksize[1], kx = ksize[2];
+  const int64_t M = (int64_t)s.keys.size();
+
+  // submanifold rulebook: centered offsets, dz slowest.  For kx == 3 one
+  // walk resolves all three x-taps (consecutive keys).
+  std::memset(subm_idx, 0, sizeof(int32_t) * kz * ky * kx * N);
+  std::memset(subm_found, 0, sizeof(uint8_t) * kz * ky * kx * N);
+  if (kx == 3) {
+    int64_t k = 0;
+    for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
+      for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy, k += 3)
+        merge_tap3(s, grid, dz, dy, k, N, subm_idx, subm_found);
+  } else {
+    int64_t k = 0;
+    for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
+      for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy)
+        for (int32_t dx = -(kx / 2); dx < kx - kx / 2; ++dx, ++k) {
+          int32_t* gi = subm_idx + k * N;
+          uint8_t* fo = subm_found + k * N;
+          const int64_t delta = ((int64_t)dz * grid[1] + dy) * grid[2] + dx;
+          int64_t j = 0;
+          for (int64_t q = 0; q < M; ++q) {
+            const int32_t z = s.cz[q] + dz, y = s.cy[q] + dy,
+                          x = s.cx[q] + dx;
+            if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1] || x < 0 ||
+                x >= grid[2])
+              continue;
+            const int64_t qkey = s.keys[q] + delta;
+            while (j < M && s.keys[j] < qkey) ++j;
+            if (j < M && s.keys[j] == qkey) {
+              gi[s.idx[q]] = s.idx[j];
+              fo[s.idx[q]] = 1;
+            }
+          }
+        }
+  }
+
+  // strided output sites: mark candidate cells in a bitmap over the
+  // output grid, then scan words ascending — O(cands + out_total/64),
+  // no sort.
+  int32_t out_grid[3];
+  for (int d = 0; d < 3; ++d)
+    out_grid[d] = (grid[d] + 2 * pad[d] - ksize[d]) / stride[d] + 1;
+  const int64_t out_total =
+      (int64_t)out_grid[0] * out_grid[1] * out_grid[2];
+  Bitmap bm(out_total);
+  for (int64_t q = 0; q < M; ++q) {
+    const int32_t c3[3] = {s.cz[q], s.cy[q], s.cx[q]};
+    int32_t lo[3], hi[3];
+    for (int d = 0; d < 3; ++d) {
+      const int32_t ip = c3[d] + pad[d];
+      int32_t l = ip - ksize[d] + 1;
+      lo[d] = l >= 0 ? (l + stride[d] - 1) / stride[d] : -((-l) / stride[d]);
+      hi[d] = ip / stride[d];
+      if (lo[d] < 0) lo[d] = 0;
+      if (hi[d] >= out_grid[d]) hi[d] = out_grid[d] - 1;
+    }
+    for (int32_t oz = lo[0]; oz <= hi[0]; ++oz)
+      for (int32_t oy = lo[1]; oy <= hi[1]; ++oy)
+        for (int32_t ox = lo[2]; ox <= hi[2]; ++ox)
+          bm.set(((int64_t)oz * out_grid[1] + oy) * out_grid[2] + ox);
+  }
+  int64_t num_out = 0;
+  const int64_t n_words = (int64_t)bm.words.size();
+  for (int64_t w = 0; w < n_words && num_out < max_out; ++w) {
+    uint64_t bits = bm.words[w];
+    while (bits && num_out < max_out) {
+      const int b = __builtin_ctzll(bits);
+      bits &= bits - 1;
+      const int64_t key = (w << 6) | b;
+      out_coords[num_out * 3 + 0] =
+          (int32_t)(key / ((int64_t)out_grid[1] * out_grid[2]));
+      out_coords[num_out * 3 + 1] =
+          (int32_t)((key / out_grid[2]) % out_grid[1]);
+      out_coords[num_out * 3 + 2] = (int32_t)(key % out_grid[2]);
+      out_valid[num_out] = 1;
+      ++num_out;
+    }
+  }
+  for (int64_t o = num_out; o < max_out; ++o) {
+    out_coords[o * 3 + 0] = -1;
+    out_coords[o * 3 + 1] = -1;
+    out_coords[o * 3 + 2] = -1;
+    out_valid[o] = 0;
+  }
+
+  // strided rulebook: out-site query keys ascend with out_coords
+  // (sorted-unique); for kx == 3 and any sx the three x-taps give query
+  // keys ix0 + {0, 1, 2}, i.e. consecutive — one walk per (tz, ty).
+  std::memset(down_idx, 0, sizeof(int32_t) * kz * ky * kx * max_out);
+  std::memset(down_found, 0, sizeof(uint8_t) * kz * ky * kx * max_out);
+  int64_t t = 0;
+  for (int32_t tz = 0; tz < kz; ++tz)
+    for (int32_t ty = 0; ty < ky; ++ty) {
+      if (kx == 3) {
+        int64_t j = 0;
+        for (int64_t o = 0; o < num_out; ++o) {
+          const int32_t iz = out_coords[o * 3 + 0] * stride[0] + tz - pad[0];
+          const int32_t iy = out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
+          if (iz < 0 || iz >= grid[0] || iy < 0 || iy >= grid[1]) continue;
+          const int32_t ix0 = out_coords[o * 3 + 2] * stride[2] - pad[2];
+          const int64_t qbase = ((int64_t)iz * grid[1] + iy) * grid[2] + ix0;
+          while (j < M && s.keys[j] < qbase) ++j;
+          for (int64_t jj = j; jj < M && jj < j + 3 && s.keys[jj] <= qbase + 2;
+               ++jj) {
+            const int64_t d = s.keys[jj] - qbase;   // tx = 0, 1, or 2
+            if (d < 0 || d > 2) continue;
+            const int32_t xq = ix0 + (int32_t)d;
+            if (xq < 0 || xq >= grid[2]) continue;
+            down_idx[(t + d) * max_out + o] = s.idx[jj];
+            down_found[(t + d) * max_out + o] = 1;
+          }
+        }
+        t += 3;
+      } else {
+        for (int32_t tx = 0; tx < kx; ++tx, ++t) {
+          int32_t* gi = down_idx + t * max_out;
+          uint8_t* fo = down_found + t * max_out;
+          int64_t j = 0;
+          for (int64_t o = 0; o < num_out; ++o) {
+            const int32_t iz =
+                out_coords[o * 3 + 0] * stride[0] + tz - pad[0];
+            const int32_t iy =
+                out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
+            const int32_t ix =
+                out_coords[o * 3 + 2] * stride[2] + tx - pad[2];
+            const int64_t key = lin_key(iz, iy, ix, grid);
+            if (key < 0) continue;
+            while (j < M && s.keys[j] < key) ++j;
+            if (j < M && s.keys[j] == key) {
+              gi[o] = s.idx[j];
+              fo[o] = 1;
+            }
+          }
+        }
+      }
+    }
+  return (int)num_out;
+}
+
 }  // extern "C"

@@ -131,3 +131,62 @@ class TestScatterToBev:
         b = np.asarray(bev).reshape(H, W, D, 4)
         for i in np.flatnonzero(v)[:10]:
             np.testing.assert_allclose(b[c[i, 1], c[i, 2], c[i, 0]], f[i])
+
+
+class TestLutBuilders:
+    """Dense-LUT rulebook/layout builders == sort-based builders."""
+
+    @pytest.mark.parametrize("kernel", [(3, 3, 3), (1, 3, 3)])
+    def test_subm_lut_matches_sort(self, kernel):
+        rng = np.random.default_rng(7)
+        _, coords, valid = random_sparse(rng)
+        a = sc.build_submanifold_rulebook(coords, valid, GRID, kernel)
+        b = sc.build_submanifold_rulebook_lut(coords, valid, GRID, kernel)
+        np.testing.assert_array_equal(np.asarray(a.found),
+                                      np.asarray(b.found))
+        fa = np.asarray(a.found)
+        np.testing.assert_array_equal(np.asarray(a.gather_idx)[fa],
+                                      np.asarray(b.gather_idx)[fa])
+
+    @pytest.mark.parametrize("stride", [(2, 2, 2), (2, 1, 1), (1, 2, 2)])
+    def test_strided_lut_matches_sort(self, stride):
+        rng = np.random.default_rng(8)
+        _, coords, valid = random_sparse(rng)
+        kernel, pad, max_out = (3, 3, 3), (1, 1, 1), 128
+        a = sc.build_strided_layout(coords, valid, GRID, kernel, stride,
+                                    pad, max_out)
+        b = sc.build_strided_layout_lut(coords, valid, GRID, kernel, stride,
+                                        pad, max_out)
+        assert int(a.num_out) == int(b.num_out)
+        np.testing.assert_array_equal(np.asarray(a.out_coords),
+                                      np.asarray(b.out_coords))
+        np.testing.assert_array_equal(np.asarray(a.out_valid),
+                                      np.asarray(b.out_valid))
+        np.testing.assert_array_equal(np.asarray(a.found),
+                                      np.asarray(b.found))
+        fa = np.asarray(a.found)
+        np.testing.assert_array_equal(np.asarray(a.gather_idx)[fa],
+                                      np.asarray(b.gather_idx)[fa])
+
+    def test_strided_lut_out_capacity_clamps(self):
+        rng = np.random.default_rng(9)
+        _, coords, valid = random_sparse(rng)
+        small = sc.build_strided_layout_lut(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), 8)
+        full = sc.build_strided_layout_lut(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), 256)
+        assert int(small.num_out) == 8
+        np.testing.assert_array_equal(np.asarray(small.out_coords),
+                                      np.asarray(full.out_coords)[:8])
+
+    def test_lut_matches_host_precompute(self):
+        """LUT builders == the host C++/numpy precompute (same tables the
+        trainer ships)."""
+        from automatic_as_built_reconstruction_tpu.ops import rulebook_host
+        rng = np.random.default_rng(10)
+        _, coords, valid = random_sparse(rng)
+        coords_np = np.asarray(coords)
+        gi, fo = rulebook_host.subm_rulebook(coords_np, GRID, (3, 3, 3))
+        b = sc.build_submanifold_rulebook_lut(coords, valid, GRID, (3, 3, 3))
+        np.testing.assert_array_equal(fo, np.asarray(b.found))
+        np.testing.assert_array_equal(gi[fo], np.asarray(b.gather_idx)[fo])
