@@ -21,6 +21,8 @@ def build(cfg, rng=None):
             prep_steps.append(functools.partial(
                 sample_ops.filter_by_difficulty, removed=removed))
     groups = [dict(g.name_to_max_num) for g in cfg.sample_groups]
+    grot = list(cfg.global_random_rotation_range_per_object) or None
     return sample_ops.DataBaseSampler.from_info_path(
         cfg.database_info_path, groups,
-        rate=cfg.rate or 1.0, prep_steps=prep_steps, rng=rng)
+        rate=cfg.rate or 1.0, prep_steps=prep_steps,
+        global_rot_range=grot, rng=rng)

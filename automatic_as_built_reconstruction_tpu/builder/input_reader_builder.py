@@ -56,6 +56,12 @@ def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
         min_points_in_gt=int(pp.min_num_of_points_in_gt) or -1,
         remove_points_after_sample=pp.remove_points_after_sample,
         symmetric_yaw=pp.symmetric_yaw,
+        gt_points_drop_percentage=pp.groundtruth_points_drop_percentage,
+        gt_drop_max_keep_points=int(pp.groundtruth_drop_max_keep_points)
+        or 10,
+        frustum_dropout_prob=pp.frustum_dropout_prob,
+        frustum_dropout_azimuth_width=(pp.frustum_dropout_azimuth_width
+                                       or float(np.pi / 12)),
         out_size_factor=out_size_factor,
     )
 

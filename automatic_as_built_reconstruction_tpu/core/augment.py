@@ -138,3 +138,61 @@ def global_translate(gt_boxes, points, noise_std=(0.0, 0.0, 0.0),
     points[:, :3] += t
     gt_boxes[:, :3] += t
     return gt_boxes, points
+
+
+def frustum_dropout(points, probability: float = 0.5,
+                    azimuth_width: float = np.pi / 12,
+                    max_range_fraction: float = 1.0,
+                    rng: np.random.Generator | None = None):
+    """Drop every point inside a random azimuth frustum (sensor-occlusion
+    augmentation).
+
+    With ``probability``, picks a random azimuth wedge of ``azimuth_width``
+    radians (and optionally only beyond a random range fraction) and
+    removes its points — simulating an occluder between the scanner and
+    the scene.  [ref: SURVEY.md §2.1 augmentation row (frustum dropout)]
+    """
+    rng = rng or np.random.default_rng()
+    if rng.uniform() >= probability or len(points) == 0:
+        return points
+    az = np.arctan2(points[:, 1], points[:, 0])
+    a0 = rng.uniform(-np.pi, np.pi)
+    # wrapped wedge membership
+    d = np.mod(az - a0 + np.pi, 2 * np.pi) - np.pi
+    in_wedge = np.abs(d) < azimuth_width / 2
+    if max_range_fraction < 1.0:
+        r = np.linalg.norm(points[:, :2], axis=1)
+        rmax = r.max() if len(r) else 0.0
+        r0 = rng.uniform(0, max_range_fraction) * rmax
+        in_wedge &= r >= r0
+    return points[~in_wedge]
+
+
+def drop_points_in_gt(points, gt_boxes,
+                      drop_percentage: float,
+                      max_keep_points: int,
+                      rng: np.random.Generator | None = None):
+    """Sparsify points inside a random subset of gt boxes.
+
+    ``drop_percentage`` of the gt boxes are chosen; each keeps at most
+    ``max_keep_points`` of its points (uniformly subsampled).  Mirrors the
+    reference's ``groundtruth_points_drop_percentage`` /
+    ``groundtruth_drop_max_keep_points`` fields [ref:
+    second/protos/preprocess.proto — lineage-expected, UNVERIFIED].
+    """
+    rng = rng or np.random.default_rng()
+    if drop_percentage <= 0 or len(gt_boxes) == 0 or len(points) == 0:
+        return points
+    from . import box_ops
+    chosen = rng.uniform(size=len(gt_boxes)) < drop_percentage
+    if not chosen.any():
+        return points
+    membership = box_ops.points_in_rbbox(points, gt_boxes[chosen])
+    drop = np.zeros(len(points), bool)
+    for j in range(membership.shape[1]):
+        idx = np.flatnonzero(membership[:, j])
+        if len(idx) > max_keep_points:
+            kill = rng.choice(idx, size=len(idx) - max_keep_points,
+                              replace=False)
+            drop[kill] = True
+    return points[~drop]

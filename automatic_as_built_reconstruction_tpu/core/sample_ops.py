@@ -79,20 +79,35 @@ class DataBaseSampler:
         self._rate = rate
         self._groups = groups
         self._root_path = pathlib.Path(root_path)
-        self._global_rot_range = global_rot_range
+        gr = (tuple(float(v) for v in global_rot_range)
+              if global_rot_range is not None else None)
+        if gr is not None and gr[0] == gr[1] == 0.0:
+            gr = None
+        self._global_rot_range = gr
         self._rng = rng or np.random.default_rng()
+        # group-aware sampling: infos carrying a group_id are sampled as
+        # whole groups (an instance drags its group mates along, and the
+        # group collision-tests jointly) [ref: second/core/sample_ops.py
+        # group handling — lineage-expected, UNVERIFIED]
+        self._group_members: Dict[object, List[dict]] = {}
+        for infos in db_infos.values():
+            for info in infos:
+                gid = info.get("group_id")
+                if gid is not None:
+                    self._group_members.setdefault(gid, []).append(info)
         self._samplers = {
             name: BatchSampler(infos, name, rng=self._rng)
             for name, infos in db_infos.items()}
 
     @classmethod
     def from_info_path(cls, info_path, groups, root_path=".", rate=1.0,
-                       prep_steps=(), rng=None):
+                       prep_steps=(), global_rot_range=None, rng=None):
         with open(info_path, "rb") as f:
             db_infos = pickle.load(f)
         for step in prep_steps:
             db_infos = step(db_infos)
-        return cls(db_infos, groups, root_path, rate, rng=rng)
+        return cls(db_infos, groups, root_path, rate,
+                   global_rot_range=global_rot_range, rng=rng)
 
     def sample_all(self, gt_boxes: np.ndarray, gt_names: np.ndarray,
                    num_point_features: int = 4,
@@ -108,31 +123,45 @@ class DataBaseSampler:
 
         sampled: List[dict] = []
         sampled_boxes: List[np.ndarray] = []
+        sampled_rots: List[float] = []
         avoid = gt_boxes.copy()
+        seen_gids: set = set()
         for name, num in sampled_num_dict.items():
             if num <= 0 or name not in self._samplers:
                 continue
             cand = self._samplers[name].sample(num)
-            if not cand:
-                continue
-            boxes = np.stack([c["box3d_lidar"] for c in cand]).astype(
-                gt_boxes.dtype if len(gt_boxes) else np.float32)
-            keep = self._reject_colliding(boxes, avoid)
-            for j, ok in enumerate(keep):
-                if ok:
-                    sampled.append(cand[j])
-                    sampled_boxes.append(boxes[j])
-                    avoid = np.concatenate([avoid, boxes[j : j + 1]], axis=0)
+            for unit in self._expand_groups(cand, seen_gids):
+                boxes = np.stack(
+                    [np.asarray(u["box3d_lidar"], np.float32)
+                     for u in unit])
+                rot = 0.0
+                if self._global_rot_range is not None:
+                    boxes, rot = self._rotate_unit_about_origin(boxes)
+                bev = boxes[:, [0, 1, 3, 4, 6]]
+                if len(avoid) and geometry.box_collision_test(
+                        bev, avoid[:, [0, 1, 3, 4, 6]]).any():
+                    continue
+                for u, b in zip(unit, boxes):
+                    sampled.append(u)
+                    sampled_boxes.append(b)
+                    sampled_rots.append(rot)
+                avoid = np.concatenate([avoid, boxes], axis=0)
 
         if not sampled:
             return None
         boxes = np.stack(sampled_boxes)
         points_list = []
-        for info, box in zip(sampled, boxes):
+        for info, box, rot in zip(sampled, boxes, sampled_rots):
             pts = self._load_points(root / info["path"], num_point_features)
             # db crops are stored box-relative (create_groundtruth_database
-            # subtracts the box bottom-center); restore world position
+            # subtracts the box bottom-center); rotate with the sample-time
+            # placement noise, then restore world position
             pts = pts.copy()
+            if rot != 0.0:
+                c, s = np.float32(np.cos(rot)), np.float32(np.sin(rot))
+                # same convention as box_ops.rotation_3d_in_axis (axis=2)
+                pts[:, :2] = pts[:, :2] @ np.array(
+                    [[c, s], [-s, c]], np.float32)
             pts[:, :3] += box[:3]
             points_list.append(pts)
         return {
@@ -142,6 +171,36 @@ class DataBaseSampler:
                        else np.zeros((0, num_point_features), np.float32)),
             "difficulty": np.array([s.get("difficulty", 0) for s in sampled]),
         }
+
+    def _expand_groups(self, cand: List[dict],
+                       seen_gids: set) -> List[List[dict]]:
+        """Candidates -> placement units (whole groups or singletons);
+        a group appears once even if several members were drawn."""
+        units: List[List[dict]] = []
+        for c in cand:
+            gid = c.get("group_id")
+            if gid is not None and gid in self._group_members:
+                if gid in seen_gids:
+                    continue
+                seen_gids.add(gid)
+                units.append(list(self._group_members[gid]))
+            else:
+                units.append([c])
+        return units
+
+    def _rotate_unit_about_origin(self, boxes: np.ndarray):
+        """Sample-time placement rotation: the unit is rigidly rotated
+        about the scene origin so its azimuth lands inside
+        ``global_rot_range`` (box yaw follows).  [ref:
+        second/core/sample_ops.py global_rot_range — lineage-expected]"""
+        lo, hi = self._global_rot_range
+        alpha = float(np.arctan2(boxes[0, 1], boxes[0, 0]))
+        rot = float(self._rng.uniform(lo, hi)) - alpha
+        c, s = np.float32(np.cos(rot)), np.float32(np.sin(rot))
+        boxes = boxes.copy()
+        boxes[:, :2] = boxes[:, :2] @ np.array([[c, s], [-s, c]], np.float32)
+        boxes[:, 6] += rot
+        return boxes, rot
 
     def _reject_colliding(self, boxes: np.ndarray,
                           avoid: np.ndarray) -> np.ndarray:

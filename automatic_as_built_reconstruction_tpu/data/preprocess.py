@@ -41,6 +41,10 @@ class PrepConfig:
     min_points_in_gt: int = -1
     remove_points_after_sample: bool = False
     symmetric_yaw: bool = False
+    gt_points_drop_percentage: float = 0.0
+    gt_drop_max_keep_points: int = 10
+    frustum_dropout_prob: float = 0.0
+    frustum_dropout_azimuth_width: float = np.pi / 12
     out_size_factor: int = 2
 
 
@@ -93,6 +97,14 @@ def prep_pointcloud(input_dict: dict,
                         points, sampled["gt_boxes"])
                 points = np.concatenate([sampled["points"], points])
 
+        if prep_cfg.gt_points_drop_percentage > 0:
+            points = augment.drop_points_in_gt(
+                points, gt_boxes, prep_cfg.gt_points_drop_percentage,
+                prep_cfg.gt_drop_max_keep_points, rng=rng)
+        if prep_cfg.frustum_dropout_prob > 0:
+            points = augment.frustum_dropout(
+                points, prep_cfg.frustum_dropout_prob,
+                prep_cfg.frustum_dropout_azimuth_width, rng=rng)
         if (np.any(np.asarray(prep_cfg.gt_loc_noise_std) > 0)
                 or np.any(np.asarray(prep_cfg.gt_rotation_noise) != 0)):
             augment.noise_per_object(
