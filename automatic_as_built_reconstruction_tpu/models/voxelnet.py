@@ -126,10 +126,15 @@ class VoxelNet(nn.Module):
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, *, train: bool = False,
-                 middle_rulebooks=None):
+                 middle_rulebooks=None, return_stages: bool = False):
         """``middle_rulebooks``: optional host-precomputed sparse-conv
         rulebooks (see ``ops.rulebook_host``) — only meaningful for the
-        sparse middle extractors."""
+        sparse middle extractors.
+
+        ``return_stages``: also return the per-stage intermediate tensors
+        (for the reference-style ``--measure_time`` breakdown — timing a
+        jit program that returns only an earlier stage DCEs the rest
+        [ref: second/pytorch/train.py --measure_time])."""
         cfg = self.cfg
         vfe_cls = VFE_REGISTRY[cfg.vfe_name]
         if cfg.vfe_name == "PillarFeatureNet":
@@ -192,7 +197,11 @@ class VoxelNet(nn.Module):
                   dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else jnp.float32))
         preds = rpn(spatial, train=train)
-        return {k: v.astype(jnp.float32) for k, v in preds.items()}
+        preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
+        if return_stages:
+            return preds, {"voxel_features": voxel_features,
+                           "spatial_features": spatial}
+        return preds
 
 
 # ---------------------------------------------------------------------------

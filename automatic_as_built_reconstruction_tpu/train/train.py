@@ -27,6 +27,7 @@ from ..builder import (box_coder_builder, config_io, input_reader_builder,
 from ..data import batching
 from ..models import voxelnet as voxelnet_mod
 from . import checkpoint as ckpt_mod
+from . import metrics as metrics_mod
 
 
 class Bundle:
@@ -143,9 +144,13 @@ def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):
                 middle_rulebooks=books,
                 mutable=["batch_stats"])
             loss, metrics = voxelnet_mod.compute_loss(preds, example, cfg)
-            return loss, (metrics, mut["batch_stats"])
+            flat = voxelnet_mod._flatten_preds(preds, cfg)
+            pr = metrics_mod.precision_recall_counts(
+                jax.lax.stop_gradient(flat["cls_preds"]),
+                example["labels"])
+            return loss, (metrics, mut["batch_stats"], pr)
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+        (loss, (metrics, new_bs, pr_counts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
         grads = clip_by_global_norm(grads, 10.0)
         updates, opt_state = tx.update(grads, state["opt_state"],
@@ -158,6 +163,10 @@ def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["num_pos"] = (example["labels"] > 0).sum()
+        # thresholded PR counts of the cls head, accumulated host-side
+        # (the reference logs PrecisionRecall during training [ref:
+        # torchplus/metrics.py via second/pytorch/train.py])
+        metrics["pr"] = pr_counts
         return new_state, metrics
 
     return train_step
@@ -167,6 +176,39 @@ def clip_by_global_norm(grads, max_norm: float):
     norm = optax.global_norm(grads)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-6))
     return jax.tree.map(lambda g: g * scale, grads)
+
+
+def make_stage_timer_fns(bundle: Bundle):
+    """Per-stage jit programs for the reference-style ``--measure_time``
+    breakdown (vfe / middle / rpn / predict ms).  Each program returns
+    only its stage's output reduced to a scalar, so XLA dead-code-
+    eliminates everything after it; successive differences give per-stage
+    device time [ref: second/pytorch/train.py --measure_time wraps
+    net-internal stage timers]."""
+    model, cfg = bundle.model, bundle.model_cfg
+
+    def run(params, batch_stats, example, which):
+        books = _middle_rulebooks(example, cfg)
+        preds, stages = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            example["voxels"], example["num_points"],
+            example["coordinates"], train=False, middle_rulebooks=books,
+            return_stages=True)
+        if which == "vfe":
+            out = stages["voxel_features"]
+        elif which == "middle":
+            out = stages["spatial_features"]
+        elif which == "rpn":
+            return sum(jnp.sum(v) for v in preds.values())
+        else:  # predict
+            det = voxelnet_mod.predict(
+                preds, example["anchors"], cfg,
+                anchors_mask=example.get("anchors_mask"))
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in det.values())
+        return jnp.sum(out.astype(jnp.float32))
+
+    return {w: jax.jit(functools.partial(run, which=w))
+            for w in ("vfe", "middle", "rpn", "predict")}
 
 
 def make_predict_fn(bundle: Bundle, mesh: Optional[Mesh] = None):
@@ -264,6 +306,7 @@ def train(config_path, model_dir, *, resume: bool = True,
     step = start_step
     last_save = time.time()
     window: Dict[str, list] = {}
+    pr = metrics_mod.PrecisionRecall()
     t_window = time.time()
     try:
         for batch in loader:
@@ -272,6 +315,7 @@ def train(config_path, model_dir, *, resume: bool = True,
             example = _to_device(batching.device_example(batch), mesh)
             state, metrics = train_step(state, example)
             step += 1
+            pr.update(jax.device_get(metrics.pop("pr")))
             for k, v in metrics.items():
                 window.setdefault(k, []).append(float(v))
             if step % display_step == 0:
@@ -279,6 +323,8 @@ def train(config_path, model_dir, *, resume: bool = True,
                 avg["steps_per_sec"] = (
                     display_step / max(time.time() - t_window, 1e-9))
                 logger.log(step, avg)
+                logger.text(f"[train] step={step} {pr.summary()}")
+                pr.clear()
                 window.clear()
                 t_window = time.time()
             if time.time() - last_save > save_secs:
@@ -356,6 +402,21 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
         for k, v in timers.items():
             print(f"[measure_time] {k}: {v / nb * 1000:.1f} ms/batch "
                   f"(first batch includes compile)")
+        # reference-style per-stage breakdown (vfe/middle/rpn/predict) on
+        # one batch: cumulative-prefix programs, successive differences
+        stage_fns = make_stage_timer_fns(bundle)
+        cum = {}
+        for name, fn in stage_fns.items():
+            float(fn(state["params"], state["batch_stats"], example))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                float(fn(state["params"], state["batch_stats"], example))
+            cum[name] = (time.perf_counter() - t0) / 3
+        prev = 0.0
+        for name in ("vfe", "middle", "rpn", "predict"):
+            ms = max(cum[name] - prev, 0.0) * 1000
+            print(f"[measure_time] stage {name}: {ms:.1f} ms/batch")
+            prev = cum[name]
     dataset = prep_ds.dataset
     n = min(len(detections), len(dataset))
     result = dataset.evaluation(detections[:n], output_dir=output_dir)

@@ -242,3 +242,17 @@ class TestDataParallelTrainer:
         with pytest.raises(ValueError, match="not divisible"):
             train_mod.train(micro_cfg_path, tmp_path / "bad", max_steps=1,
                             num_devices=8)
+
+
+class TestObservability:
+    def test_pr_logged_and_stage_breakdown(self, micro_cfg_path, tmp_path,
+                                           capsys):
+        model_dir = tmp_path / "obs"
+        train_mod.train(micro_cfg_path, model_dir, max_steps=2,
+                        display_step=1)
+        log = (model_dir / "log.txt").read_text()
+        assert "PR @0.1" in log or "PR @" in log  # PrecisionRecall lines
+        train_mod.evaluate(micro_cfg_path, model_dir, measure_time=True)
+        out = capsys.readouterr().out
+        for stage in ("vfe", "middle", "rpn", "predict"):
+            assert f"stage {stage}:" in out
