@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sparse_conv as sc
+from ..ops.pallas import sparse_gather_gemm as sgg
 
 
 def scatter_to_dense(voxel_features, coords, grid_dhw):
@@ -140,6 +141,10 @@ class SparseMiddle(nn.Module):
     # compute dtype for gathers + GEMMs (bfloat16 halves the gather
     # bandwidth and runs the GEMMs at MXU rate; BN stats stay fp32)
     dtype: jnp.dtype = jnp.float32
+    # route the gather-GEMM through the Pallas kernel (VMEM-resident
+    # feature table + tpu.dynamic_gather per tap; see
+    # ops/pallas/sparse_gather_gemm.py) instead of the XLA fused gather
+    use_pallas_gemm: bool = False
 
     def _conv_params(self, name, k, cin, cout):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
@@ -184,18 +189,33 @@ class SparseMiddle(nn.Module):
                     max_out=blk.out_cap))(cur_coords, valid)
             for li in range(blk.n_subm):
                 w = self._conv_params(f"b{bi}_subm{li}", 27, cin, blk.cout)
-                feats = jax.vmap(sc.submanifold_conv,
-                                 in_axes=(0, 0, None, None, 0))(
-                    feats, rb, w.astype(self.dtype), None, valid)
+                if self.use_pallas_gemm:
+                    feats = jax.vmap(sgg.gather_gemm,
+                                     in_axes=(0, 0, 0, None))(
+                        feats, rb.gather_idx, rb.found,
+                        w.astype(self.dtype))
+                    feats = jnp.where(valid[..., None], feats, 0.0).astype(
+                        self.dtype)
+                else:
+                    feats = jax.vmap(sc.submanifold_conv,
+                                     in_axes=(0, 0, None, None, 0))(
+                        feats, rb, w.astype(self.dtype), None, valid)
                 feats = MaskedBatchNorm(name=f"b{bi}_subm{li}_bn")(
                     feats, valid, train=train)
                 feats = nn.relu(feats) * valid[..., None]
                 cin = blk.cout
             # strided downsample conv
             w = self._conv_params(f"b{bi}_down", 27, cin, blk.cout)
-            feats = jax.vmap(sc.strided_sparse_conv,
-                             in_axes=(0, 0, None))(feats, layout,
-                                                   w.astype(self.dtype))
+            if self.use_pallas_gemm:
+                feats = jax.vmap(sgg.gather_gemm, in_axes=(0, 0, 0, None))(
+                    feats, layout.gather_idx, layout.found,
+                    w.astype(self.dtype))
+                feats = jnp.where(layout.out_valid[..., None], feats,
+                                  0.0).astype(self.dtype)
+            else:
+                feats = jax.vmap(sc.strided_sparse_conv,
+                                 in_axes=(0, 0, None))(feats, layout,
+                                                       w.astype(self.dtype))
             cur_coords = layout.out_coords
             valid = layout.out_valid
             feats = MaskedBatchNorm(name=f"b{bi}_down_bn")(

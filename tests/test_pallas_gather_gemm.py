@@ -1,0 +1,98 @@
+"""Interpret-mode parity tests for the Pallas gather-GEMM sparse-conv
+kernel (north-star N1) against the XLA reference in ops.sparse_conv."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc  # noqa: E402
+from automatic_as_built_reconstruction_tpu.ops.pallas import (  # noqa: E402
+    sparse_gather_gemm as sgg)
+
+GRID = (8, 12, 10)
+
+
+def random_sparse(rng, n_active=60, n_pad=20, cin=8):
+    D, H, W = GRID
+    lin = rng.choice(D * H * W, n_active, replace=False)
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+    coords = np.concatenate(
+        [coords, np.full((n_pad, 3), -1)]).astype(np.int32)
+    valid = np.concatenate(
+        [np.ones(n_active, bool), np.zeros(n_pad, bool)])
+    feats = rng.normal(size=(n_active + n_pad, cin)).astype(np.float32)
+    feats[~valid] = 0
+    return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid)
+
+
+class TestGatherGemm:
+    def test_matches_submanifold_conv(self):
+        rng = np.random.default_rng(0)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.gather_gemm(feats, rb.gather_idx, rb.found, w,
+                              interpret=True)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_matches_strided_conv_padded_rows(self):
+        """R < N path: strided layout has fewer rows than the table."""
+        rng = np.random.default_rng(1)
+        feats, coords, valid = random_sparse(rng)
+        layout = sc.build_strided_layout(coords, valid, GRID, (3, 3, 3),
+                                         (2, 2, 2), (1, 1, 1), 48)
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.strided_sparse_conv(feats, layout, w)
+        out = sgg.gather_gemm(feats, layout.gather_idx, layout.found, w,
+                              interpret=True)
+        out = jnp.where(layout.out_valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_more_rulebook_rows_than_features(self):
+        """R > N path (capacity round-up): padded feature table."""
+        rng = np.random.default_rng(2)
+        feats, coords, valid = random_sparse(rng)
+        layout = sc.build_strided_layout(coords, valid, GRID, (3, 3, 3),
+                                         (2, 2, 2), (1, 1, 1), 128)
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.strided_sparse_conv(feats, layout, w)
+        out = sgg.gather_gemm(feats, layout.gather_idx, layout.found, w,
+                              interpret=True)
+        out = jnp.where(layout.out_valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestSparseMiddlePallasPath:
+    def test_matches_xla_path(self):
+        """SparseMiddle(use_pallas_gemm=True) == default path (interpret
+        mode on CPU)."""
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        rng = np.random.default_rng(3)
+        B, V = 2, 96
+        D, H, W = 8, 16, 16
+        coords = np.full((B, V, 3), -1, np.int32)
+        feats = np.zeros((B, V, 4), np.float32)
+        for b in range(B):
+            n = 48
+            lin = rng.choice(D * H * W, n, replace=False)
+            coords[b, :n] = np.stack(
+                [lin // (H * W), (lin // W) % H, lin % W], 1)
+            feats[b, :n] = rng.normal(size=(n, 4))
+        kw = dict(grid_dhw=(D, H, W), num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 1),
+                  z_strides=(2, 2), xy_strides=(2, 2))
+        m_ref = SparseMiddle(**kw)
+        m_pl = SparseMiddle(use_pallas_gemm=True, **kw)
+        fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+        variables = m_ref.init(jax.random.key(0), fj, cj)
+        ref = m_ref.apply(variables, fj, cj)
+        out = m_pl.apply(variables, fj, cj)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-4)
