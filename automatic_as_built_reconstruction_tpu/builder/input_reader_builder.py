@@ -115,5 +115,7 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         seed=seed,
         repeat=training,
         drop_last=training,
+        buckets=(tuple(pp.static_shape_buckets)
+                 if training and len(pp.static_shape_buckets) else None),
     )
     return prep_ds, loader

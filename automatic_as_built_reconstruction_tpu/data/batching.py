@@ -29,6 +29,36 @@ def merge_batch(examples: List[Dict[str, np.ndarray]]) -> Dict[str, object]:
     return out
 
 
+_VOXEL_CAP_KEYS = ("voxels", "num_points", "coordinates")
+
+
+def pick_bucket(num_voxels: int, buckets) -> int:
+    """Smallest bucket >= the example's active voxel count (last bucket =
+    full capacity catches overflow)."""
+    for b in buckets:
+        if num_voxels <= b:
+            return int(b)
+    return int(buckets[-1])
+
+
+def shrink_to_bucket(example: Dict[str, np.ndarray],
+                     bucket: int) -> Dict[str, np.ndarray]:
+    """Slice the voxel-capacity arrays down to ``bucket`` rows.
+
+    Valid voxels are stored first, so slicing drops only padding (or, for
+    overflowing scans, the FCFS tail — same semantics as a smaller
+    ``max_voxels``).  Bucketed padding is the TPU answer to
+    variable-density scans paying full-capacity cost [ref: SURVEY.md §5.7].
+    Only valid for examples without host rulebooks (``rb*`` keys), whose
+    shapes are tied to the full-capacity block plan.
+    """
+    out = dict(example)
+    for k in _VOXEL_CAP_KEYS:
+        if k in out and out[k].shape[0] > bucket:
+            out[k] = out[k][:bucket]
+    return out
+
+
 def device_example(batch: Dict[str, object]) -> Dict[str, np.ndarray]:
     """The array-only subset that is shipped to the device."""
     keys = ("voxels", "num_points", "coordinates", "anchors", "anchors_mask",

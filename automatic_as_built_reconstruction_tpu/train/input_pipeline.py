@@ -43,7 +43,7 @@ class BatchLoader:
     def __init__(self, prep_dataset: PrepDataset, batch_size: int,
                  shuffle: bool, num_workers: int = 2, seed: int = 0,
                  prefetch: int = 4, drop_last: bool = True,
-                 repeat: bool = True):
+                 repeat: bool = True, buckets=None):
         self._ds = prep_dataset
         self._batch_size = batch_size
         self._shuffle = shuffle
@@ -52,6 +52,23 @@ class BatchLoader:
         self._prefetch = prefetch
         self._drop_last = drop_last
         self._repeat = repeat
+        # bucketed padding: sorted voxel-capacity buckets; each batch is
+        # shrunk to the smallest bucket holding its densest member, so
+        # sparse scans compile and run at a fraction of full capacity
+        # without reordering the stream [ref: SURVEY.md §5.7]
+        self._buckets = tuple(sorted(int(b) for b in buckets)) \
+            if buckets else None
+
+    def _emit(self, q, batch):
+        """Merge one batch, applying bucketed shrinking when enabled.
+
+        Host-rulebook examples (``rb*``) stay at full capacity — their
+        table shapes are tied to the full-capacity block plan."""
+        if self._buckets and "rb0_subm_idx" not in batch[0]:
+            bucket = batching.pick_bucket(
+                max(int(e["num_voxels"]) for e in batch), self._buckets)
+            batch = [batching.shrink_to_bucket(e, bucket) for e in batch]
+        q.put(batching.merge_batch(batch))
 
     def _index_stream(self) -> Iterator[tuple]:
         rng = np.random.default_rng(self._seed)
@@ -77,19 +94,20 @@ class BatchLoader:
                         return
                     batch.append(self._ds.example(idx, seed))
                     if len(batch) == self._batch_size:
-                        q.put(batching.merge_batch(batch))
+                        self._emit(q, batch)
                         batch = []
                 if batch and not self._drop_last:
-                    q.put(batching.merge_batch(batch))
+                    self._emit(q, batch)
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
                 q.put(None)
 
         threads = [threading.Thread(target=producer, daemon=True)]
-        # NOTE: single producer keeps ordering deterministic; the per-sample
-        # prep can still parallelize internally.  num_workers > 1 switches
-        # to a pool at the cost of batch-order determinism.
+        # Both producers are batch-order deterministic: the pool submits
+        # in stream order and collects results in submission order, and
+        # per-sample rngs are seeded by (epoch, index) so prep results
+        # do not depend on execution order.
         if self._workers > 1:
             threads = [threading.Thread(
                 target=self._pooled_producer, args=(q, stop), daemon=True)]
@@ -125,11 +143,11 @@ class BatchLoader:
                         batch = [f.result() for f in
                                  pending[: self._batch_size]]
                         pending = pending[self._batch_size :]
-                        q.put(batching.merge_batch(batch))
+                        self._emit(q, batch)
                     elif exhausted:
                         if pending and not self._drop_last:
-                            q.put(batching.merge_batch(
-                                [f.result() for f in pending]))
+                            self._emit(
+                                q, [f.result() for f in pending])
                         break
         except Exception as e:
             q.put(e)

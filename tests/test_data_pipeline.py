@@ -259,3 +259,81 @@ class TestLidarEval:
                  "label_preds": np.zeros(2, np.int64)}]
         res = eval_mod.evaluate_lidar_ap(gt, dets, ["wall"], {"wall": 0.5})
         assert res["wall.bev.ap"] == pytest.approx(0.5, abs=0.06)
+
+
+class TestBucketedPadding:
+    """SURVEY §5.7: batches ship at the smallest bucket holding their
+    densest member; rulebook examples stay at full capacity."""
+
+    def _fake_prep_ds(self, cap=256, with_rb=False):
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import PrepDataset
+
+        class FakeDS:
+            def __len__(self):
+                return 8
+
+            def get_sensor_data(self, idx):
+                return {"idx": idx}
+
+        def prep(sd, rng):
+            nv = 40 if sd["idx"] % 2 == 0 else 100
+            ex = {
+                "voxels": np.zeros((cap, 4, 4), np.float32),
+                "num_points": np.zeros((cap,), np.int32),
+                "coordinates": np.full((cap, 3), -1, np.int32),
+                "num_voxels": np.asarray(nv, np.int32),
+                "anchors": np.zeros((16, 7), np.float32),
+            }
+            if with_rb:
+                ex["rb0_subm_idx"] = np.zeros((27, cap), np.int32)
+            return ex
+
+        return PrepDataset(FakeDS(), prep)
+
+    def test_batch_shrinks_to_bucket(self):
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import BatchLoader
+        ds = self._fake_prep_ds()
+        loader = BatchLoader(ds, batch_size=2, shuffle=False,
+                             num_workers=1, repeat=False,
+                             buckets=(64, 128, 256))
+        batches = list(loader)
+        # idx 0/1 -> max nv 100 -> bucket 128; anchors untouched
+        assert batches[0]["voxels"].shape == (2, 128, 4, 4)
+        assert batches[0]["coordinates"].shape == (2, 128, 3)
+        assert batches[0]["anchors"].shape == (2, 16, 7)
+
+    def test_all_small_batch_uses_small_bucket(self):
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import BatchLoader
+
+        ds = self._fake_prep_ds()
+        # batch of one even-index example (nv=40) -> bucket 64
+        loader = BatchLoader(ds, batch_size=1, shuffle=False,
+                             num_workers=1, repeat=False,
+                             buckets=(64, 128, 256))
+        first = next(iter(loader))
+        assert first["voxels"].shape == (1, 64, 4, 4)
+
+    def test_rulebook_examples_not_bucketed(self):
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import BatchLoader
+        ds = self._fake_prep_ds(with_rb=True)
+        loader = BatchLoader(ds, batch_size=2, shuffle=False,
+                             num_workers=1, repeat=False,
+                             buckets=(64, 128, 256))
+        first = next(iter(loader))
+        assert first["voxels"].shape == (2, 256, 4, 4)
+
+    def test_pooled_producer_order_deterministic(self):
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import BatchLoader
+        ds = self._fake_prep_ds()
+        a = [b["num_voxels"].tolist() for b in BatchLoader(
+            ds, batch_size=2, shuffle=True, num_workers=1, seed=3,
+            repeat=False)]
+        b = [b["num_voxels"].tolist() for b in BatchLoader(
+            ds, batch_size=2, shuffle=True, num_workers=4, seed=3,
+            repeat=False)]
+        assert a == b
