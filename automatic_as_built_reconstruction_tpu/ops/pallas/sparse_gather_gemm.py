@@ -40,7 +40,7 @@ def _kernel(feats_ref, idx_ref, mask_ref, w_ref, out_ref, *, K: int):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gather_gemm(features: jax.Array, gather_idx: jax.Array,
                 found: jax.Array, weights: jax.Array,
                 interpret: bool | None = None) -> jax.Array:
@@ -50,7 +50,18 @@ def gather_gemm(features: jax.Array, gather_idx: jax.Array,
     Semantics identical to ``sparse_conv.submanifold_conv`` /
     ``strided_sparse_conv`` (without bias/valid-masking, which callers
     apply): ``out[r] = sum_k found[k, r] * features[idx[k, r]] @ W[k]``.
+
+    Differentiable: forward is the Pallas kernel; the backward pass is
+    plain XLA (masked scatter-add for d/dfeatures, per-tap GEMMs for
+    d/dweights) — gradients match the XLA reference path.
     """
+    return _gather_gemm_impl(features, gather_idx, found, weights,
+                             interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_gemm_impl(features, gather_idx, found, weights,
+                      interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, Cin = features.shape
@@ -75,3 +86,32 @@ def gather_gemm(features: jax.Array, gather_idx: jax.Array,
         interpret=interpret,
     )(features, idx, mask, weights.astype(features.dtype))
     return out[:R]
+
+
+def _gather_gemm_fwd(features, gather_idx, found, weights, interpret):
+    out = _gather_gemm_impl(features, gather_idx, found, weights, interpret)
+    return out, (features, gather_idx, found, weights)
+
+
+def _gather_gemm_bwd(interpret, res, dout):
+    features, gather_idx, found, weights = res
+    N = features.shape[0]
+    K, R = gather_idx.shape
+    dout = dout.astype(jnp.float32)
+    mask = found.astype(jnp.float32)
+    idx = jnp.clip(gather_idx.astype(jnp.int32), 0, N - 1)
+    w32 = weights.astype(jnp.float32)
+
+    # dfeats[idx[k, r]] += found[k, r] * dout[r] @ W[k]^T
+    contrib = jnp.einsum("ro,kio->kri", dout, w32) * mask[:, :, None]
+    dfeats = jnp.zeros((N, features.shape[1]), jnp.float32)
+    dfeats = dfeats.at[idx.reshape(-1)].add(
+        contrib.reshape(K * R, -1))
+    # dW[k] = (found * feats[idx[k]])^T @ dout
+    gathered = features.astype(jnp.float32)[idx] * mask[:, :, None]
+    dW = jnp.einsum("kri,ro->kio", gathered, dout)
+    return (dfeats.astype(features.dtype), None, None,
+            dW.astype(weights.dtype))
+
+
+gather_gemm.defvjp(_gather_gemm_fwd, _gather_gemm_bwd)

@@ -96,3 +96,30 @@ class TestSparseMiddlePallasPath:
         out = m_pl.apply(variables, fj, cj)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestGradients:
+    def test_grads_match_xla_path(self):
+        rng = np.random.default_rng(4)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        cot = jnp.asarray(
+            rng.normal(size=(feats.shape[0], 16)).astype(np.float32))
+
+        def loss_ref(f, ww):
+            out = sc.submanifold_conv(f, rb, ww, valid=valid)
+            return jnp.sum(out * cot)
+
+        def loss_pl(f, ww):
+            out = sgg.gather_gemm(f, rb.gather_idx, rb.found, ww,
+                                  True)
+            out = jnp.where(valid[:, None], out, 0.0)
+            return jnp.sum(out * cot)
+
+        gr_f, gr_w = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gp_f, gp_w = jax.grad(loss_pl, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gp_f),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr_w), np.asarray(gp_w),
+                                   rtol=1e-4, atol=1e-4)
