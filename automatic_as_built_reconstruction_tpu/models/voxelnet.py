@@ -105,6 +105,8 @@ class VoxelNetConfig:
     compute_dtype: str = "float32"        # "bfloat16" for MXU-rate convs
     pillar_scatter_sorted: bool = False   # pillars arrive key-sorted ->
                                           # Pallas one-hot-matmul scatter
+    sparse_use_pallas_gemm: bool = False  # sparse middle gather-GEMM via
+                                          # ops/pallas/sparse_gather_gemm
     # post-processing
     post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
@@ -168,6 +170,7 @@ class VoxelNet(nn.Module):
                 kwargs["dtype"] = (jnp.bfloat16
                                    if cfg.compute_dtype == "bfloat16"
                                    else jnp.float32)
+                kwargs["use_pallas_gemm"] = cfg.sparse_use_pallas_gemm
             middle = middle_cls(
                 grid_dhw=grid_dhw,
                 num_input_features=voxel_features.shape[-1],
