@@ -41,6 +41,9 @@ def main(argv=None):
     p_train.add_argument("--no-resume", dest="resume", action="store_false")
     p_train.add_argument("--num_devices", type=int, default=None,
                          help="data-parallel over N devices (1-D mesh)")
+    p_train.add_argument("--profile_steps", type=int, default=0,
+                         help="capture a jax.profiler trace of N steps "
+                              "to <model_dir>/profile")
 
     p_eval = sub.add_parser("evaluate", help="evaluate latest checkpoint")
     p_eval.add_argument("--config_path", required=True)
@@ -75,7 +78,8 @@ def main(argv=None):
         from .train.train import train
         train(args.config_path, args.model_dir, resume=args.resume,
               max_steps=args.max_steps, display_step=args.display_step,
-              seed=args.seed, num_devices=args.num_devices)
+              seed=args.seed, num_devices=args.num_devices,
+              profile_steps=args.profile_steps)
     elif args.command == "evaluate":
         from .train.train import evaluate
         result = evaluate(args.config_path, args.model_dir,

@@ -237,10 +237,20 @@ def make_predict_fn(bundle: Bundle, mesh: Optional[Mesh] = None):
 
 
 class MetricsLogger:
+    """log.txt + metrics.jsonl + tensorboard scalars under
+    ``<model_dir>/summary`` (the reference's summary dir [ref:
+    second/pytorch/train.py tensorboard logging — lineage-expected])."""
+
     def __init__(self, model_dir: pathlib.Path):
         model_dir.mkdir(parents=True, exist_ok=True)
         self._log = open(model_dir / "log.txt", "a")
         self._jsonl = open(model_dir / "metrics.jsonl", "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=str(model_dir / "summary"))
+        except Exception:
+            pass   # tensorboard optional; jsonl always written
 
     def log(self, step: int, metrics: Dict[str, float], prefix="train"):
         metrics = {k: float(v) for k, v in metrics.items()}
@@ -252,6 +262,10 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(
             {"step": step, "prefix": prefix, **metrics}) + "\n")
         self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{prefix}/{k}", v, step)
+            self._tb.flush()
 
     def text(self, s: str):
         print(s, flush=True)
@@ -261,13 +275,17 @@ class MetricsLogger:
 
 def train(config_path, model_dir, *, resume: bool = True,
           max_steps: Optional[int] = None, display_step: int = 50,
-          seed: int = 0, num_devices: Optional[int] = None):
+          seed: int = 0, num_devices: Optional[int] = None,
+          profile_steps: int = 0):
     """Full training loop with checkpoint/resume and in-loop eval.
 
     ``num_devices > 1`` trains data-parallel over a 1-D device mesh:
     batch-sharded inputs, replicated state, XLA collectives over ICI.
     The global batch (``train_input_reader.batch_size``) must divide by
     ``num_devices``; loss and updates match the single-device program.
+    ``profile_steps > 0`` captures a jax.profiler trace of that many steps
+    (skipping compilation) to ``<model_dir>/profile`` for
+    tensorboard-plugin-profile.
     """
     model_dir = pathlib.Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
@@ -313,8 +331,16 @@ def train(config_path, model_dir, *, resume: bool = True,
             if step >= total_steps:
                 break
             example = _to_device(batching.device_example(batch), mesh)
+            if profile_steps and step == start_step + 2:   # post-compile
+                jax.profiler.start_trace(str(model_dir / "profile"))
             state, metrics = train_step(state, example)
             step += 1
+            if profile_steps and step == start_step + 2 + profile_steps:
+                jax.tree.map(lambda x: x.block_until_ready(), state)
+                jax.profiler.stop_trace()
+                logger.text(f"profile trace written to "
+                            f"{model_dir / 'profile'}")
+                profile_steps = 0
             pr.update(jax.device_get(metrics.pop("pr")))
             for k, v in metrics.items():
                 window.setdefault(k, []).append(float(v))

@@ -256,3 +256,11 @@ class TestObservability:
         out = capsys.readouterr().out
         for stage in ("vfe", "middle", "rpn", "predict"):
             assert f"stage {stage}:" in out
+
+    def test_tensorboard_and_profile(self, micro_cfg_path, tmp_path):
+        model_dir = tmp_path / "tbprof"
+        train_mod.train(micro_cfg_path, model_dir, max_steps=4,
+                        display_step=2, profile_steps=1)
+        assert (model_dir / "summary").exists()
+        assert any((model_dir / "summary").iterdir())
+        assert (model_dir / "profile").exists()
