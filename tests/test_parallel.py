@@ -197,3 +197,28 @@ class TestDynamicPodInference:
         # dynamic mode uses every in-range point (no per-voxel cap):
         # denser scan than 256 voxels x 8 points could hold
         assert out["valid"].any()
+
+
+class TestDistributedHelpers:
+    def test_single_host_noop(self, monkeypatch):
+        from automatic_as_built_reconstruction_tpu.parallel import (
+            distributed)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert distributed.multi_host_env() is None
+        assert distributed.ensure_initialized() is False
+
+    def test_env_detection(self, monkeypatch):
+        from automatic_as_built_reconstruction_tpu.parallel import (
+            distributed)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        env = distributed.multi_host_env()
+        assert env == {"coordinator_address": "10.0.0.1:1234",
+                       "num_processes": 4, "process_id": 2}
+
+    def test_local_batch_slice(self):
+        from automatic_as_built_reconstruction_tpu.parallel import (
+            distributed)
+        s = distributed.local_batch_slice(8)   # single process -> all
+        assert (s.start, s.stop) == (0, 8)
