@@ -89,8 +89,8 @@ def scatter_sorted_to_canvas(feats: jax.Array, lin: jax.Array, *, hw: int,
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # lin [1, V] (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # feats [V, C] (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # lin [1, V] (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # feats [V, C] (HBM)
         ],
         out_specs=pl.BlockSpec((TILE_R, C), lambda i, starts: (i, 0),
                                memory_space=pltpu.VMEM),
