@@ -322,14 +322,16 @@ def build_strided_layout_lut(coords: jax.Array, valid: jax.Array,
     mark = jnp.zeros((out_total + 1,), bool)
     mark = mark.at[jnp.minimum(cand_keys, out_total)].set(True, mode="drop")
     mark = mark.at[out_total].set(False)
-    pos = jnp.cumsum(mark.astype(jnp.int32)) - 1
-    num_out = jnp.minimum(pos[-1] + 1, max_out).astype(jnp.int32)
-    cell_ids = jnp.arange(out_total + 1, dtype=jnp.int32)
-    out_keys = jnp.full((max_out + 1,), _INT32_MAX, jnp.int32)
-    out_keys = out_keys.at[
-        jnp.where(mark & (pos < max_out), pos, max_out)
-    ].set(cell_ids, mode="drop")[:max_out]
+    # compact the marked cells in ascending order WITHOUT a grid-sized
+    # scatter: the p-th output key is the first cell whose mark-cumsum
+    # reaches p+1 — a [max_out]-query binary search over the cumsum
+    csum = jnp.cumsum(mark.astype(jnp.int32))
+    num_out = jnp.minimum(csum[-1], max_out).astype(jnp.int32)
     out_valid = jnp.arange(max_out) < num_out
+    out_keys = jnp.searchsorted(
+        csum, jnp.arange(1, max_out + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    out_keys = jnp.where(out_valid, out_keys, _INT32_MAX)
     oW, oH = out_grid[2], out_grid[1]
     oz = out_keys // (oH * oW)
     oy = (out_keys // oW) % oH
