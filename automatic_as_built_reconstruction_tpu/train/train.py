@@ -367,7 +367,10 @@ def train(config_path, model_dir, *, resume: bool = True,
                                       if isinstance(v, (int, float))},
                                prefix="eval")
     finally:
-        mgr.save(step, jax.device_get(state), force=True)
+        try:
+            mgr.save(step, jax.device_get(state), force=True)
+        except Exception as e:   # e.g. StepAlreadyExistsError on a no-op run
+            logger.text(f"final checkpoint save skipped: {e}")
         mgr.close()
     logger.text(f"training finished at step {step}")
     return state
