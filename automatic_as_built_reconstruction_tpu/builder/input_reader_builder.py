@@ -62,6 +62,7 @@ def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
         frustum_dropout_prob=pp.frustum_dropout_prob,
         frustum_dropout_azimuth_width=(pp.frustum_dropout_azimuth_width
                                        or float(np.pi / 12)),
+        sort_voxels_by_key=pp.sort_voxels_by_key,
         out_size_factor=out_size_factor,
     )
 

@@ -45,6 +45,10 @@ class PrepConfig:
     gt_drop_max_keep_points: int = 10
     frustum_dropout_prob: float = 0.0
     frustum_dropout_azimuth_width: float = np.pi / 12
+    # re-sort voxel rows by ascending linear key after voxelization
+    # (SECOND's mean VFE is order-insensitive; key-sorted rulebooks are
+    # monotone per tap, which the Pallas windowed gather-GEMM requires)
+    sort_voxels_by_key: bool = False
     out_size_factor: int = 2
 
 
@@ -140,6 +144,13 @@ def prep_pointcloud(input_dict: dict,
 
     voxels_r, coords_r, num_points_r = voxel_generator.generate(
         points, prep_cfg.max_voxels)
+    if prep_cfg.sort_voxels_by_key and len(coords_r):
+        gsz = voxel_generator.grid_size          # (gx, gy, gz)
+        keys = ((coords_r[:, 0].astype(np.int64) * int(gsz[1])
+                 + coords_r[:, 1]) * int(gsz[0]) + coords_r[:, 2])
+        order = np.argsort(keys, kind="stable")
+        voxels_r, coords_r, num_points_r = (
+            voxels_r[order], coords_r[order], num_points_r[order])
     nv = len(voxels_r)
     V, T = prep_cfg.max_voxels, voxel_generator.max_num_points
     C = points.shape[1]

@@ -190,10 +190,13 @@ class SparseMiddle(nn.Module):
             for li in range(blk.n_subm):
                 w = self._conv_params(f"b{bi}_subm{li}", 27, cin, blk.cout)
                 if self.use_pallas_gemm:
-                    feats = jax.vmap(sgg.gather_gemm,
-                                     in_axes=(0, 0, 0, None))(
-                        feats, rb.gather_idx, rb.found,
-                        w.astype(self.dtype))
+                    # lax.map, not vmap: the kernel wrapper's lax.cond
+                    # (pallas vs XLA fallback) must stay a cond — vmap
+                    # would lower it to a both-branches select
+                    wd = w.astype(self.dtype)
+                    feats = jax.lax.map(
+                        lambda a: sgg.gather_gemm(a[0], a[1], a[2], wd),
+                        (feats, rb.gather_idx, rb.found))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
                 else:
@@ -207,9 +210,10 @@ class SparseMiddle(nn.Module):
             # strided downsample conv
             w = self._conv_params(f"b{bi}_down", 27, cin, blk.cout)
             if self.use_pallas_gemm:
-                feats = jax.vmap(sgg.gather_gemm, in_axes=(0, 0, 0, None))(
-                    feats, layout.gather_idx, layout.found,
-                    w.astype(self.dtype))
+                wd = w.astype(self.dtype)
+                feats = jax.lax.map(
+                    lambda a: sgg.gather_gemm(a[0], a[1], a[2], wd),
+                    (feats, layout.gather_idx, layout.found))
                 feats = jnp.where(layout.out_valid[..., None], feats,
                                   0.0).astype(self.dtype)
             else:

@@ -1,21 +1,29 @@
 """Pallas gather-GEMM kernel for sparse 3D convolution (north-star N1).
 
-The XLA path in ``ops.sparse_conv`` materializes the gathered neighbor
-tensor ``[K, N, Cin]`` to HBM, transposes it, and feeds a GEMM — three
-HBM round-trips of a tensor 27x the feature map.  This kernel keeps
-everything in VMEM: the feature table is resident, each kernel tap is a
-hardware ``dynamic_gather`` (``jnp.take_along_axis`` row-gather lowers to
-``tpu.dynamic_gather`` on Mosaic), the tap mask is a VPU multiply, and
-the per-tap GEMM accumulates on the MXU in fp32.
+TPU hardware has no arbitrary cross-row vector gather (Mosaic's
+``tpu.dynamic_gather`` shuffles within one vreg only), so this kernel
+exploits a structural property instead: when the active sites are stored
+in ascending linear-key order — which the device voxelizer
+(``first_appearance=False``), the strided-layout builders (sorted-unique
+output sites), and a one-off host sort all provide — every kernel tap's
+rulebook column is **monotone**: sorted queries hit sorted keys in order.
+Hence the matches of one output tile lie in one contiguous input window.
+
+Per (tile, tap) the kernel:
+  1. DMAs the window ``feats[start : start+W]`` HBM->VMEM (start is a
+     scalar-prefetched per-(tap, tile) offset computed in XLA),
+  2. forms the in-window one-hot matrix from relative indices (VPU
+     compares), and
+  3. gathers + multiplies on the MXU:
+     ``acc += (onehot @ window) @ W[tap]``.
 
 [ref: external spconv gather-GEMM-scatter pipeline,
 spconv/src/spconv/reordering.cu — lineage-expected, UNVERIFIED;
 BASELINE.json names "gather-GEMM-scatter Pallas kernels" explicitly]
 
-Constraint inherited from Mosaic's gather lowering: the gather's index
-array must match the operand shape, so the rulebook is padded so that the
-row count of every gather equals the feature-table row count N.  Callers
-with fewer output rows (strided convs, R < N) pad and slice.
+Rulebooks whose rows are NOT key-sorted (e.g. FCFS first-appearance
+numbering) or whose per-tile spans exceed the window make the wrapper
+fall back to the XLA path via ``lax.cond`` — semantics are always exact.
 """
 from __future__ import annotations
 
@@ -23,77 +31,166 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(feats_ref, idx_ref, mask_ref, w_ref, out_ref, *, K: int):
-    N, Cin = feats_ref.shape
+def _kernel(win_ref, idx_ref, mask_ref, featsT_hbm, w_ref, out_ref,
+            scratch, sems, *, K: int, TN: int, W: int, n_tiles: int):
+    """featsT_hbm: [Cin, L] (transposed so the windowed DMA slices the
+    128-aligned minor axis); scratch: [2, Cin, W] double buffer."""
+    t = pl.program_id(0)
+
+    def get_dma(slot, k):
+        ws = pl.multiple_of(win_ref[k * n_tiles + t], 128)
+        return pltpu.make_async_copy(
+            featsT_hbm.at[:, pl.ds(ws, W)],
+            scratch.at[slot], sems.at[slot])
+
+    get_dma(0, 0).start()
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    feats = feats_ref[:]
-    for k in range(K):
-        idx2d = jnp.broadcast_to(idx_ref[k][:, None], (N, Cin))
-        g = jnp.take_along_axis(feats, idx2d, axis=0)   # tpu.dynamic_gather
-        g = g * mask_ref[k][:, None]
-        acc = acc + jax.lax.dot(g, w_ref[k],
-                                preferred_element_type=jnp.float32)
+    for k in range(K):                       # static unroll over taps
+        if k + 1 < K:                        # double-buffered windows
+            get_dma((k + 1) % 2, k + 1).start()
+        get_dma(k % 2, k).wait()
+        ws = win_ref[k * n_tiles + t]
+        rel = idx_ref[k, sl] - ws                           # [TN]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
+        onehot = (cols == rel[:, None]) & (mask_ref[k, sl][:, None] > 0)
+        # [TN, W] x [Cin, W] -> [TN, Cin] (contract the window axis)
+        gathered = jax.lax.dot_general(
+            onehot.astype(scratch.dtype), scratch[k % 2],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(
+            gathered.astype(w_ref.dtype), w_ref[k],
+            preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_gather_gemm(featsT, idx, mask, win_start, weights, *,
+                        TN: int, W: int, interpret: bool):
+    Cin, L = featsT.shape
+    K = weights.shape[0]
+    Cout = weights.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # idx
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # mask
+            pl.BlockSpec(memory_space=pltpu.ANY),                # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, K=K, TN=TN, W=W, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, idx, mask, featsT, weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_gemm(features: jax.Array, gather_idx: jax.Array,
                 found: jax.Array, weights: jax.Array,
-                interpret: bool | None = None) -> jax.Array:
+                interpret: bool | None = None, tile: int = 256,
+                window: int = 768) -> jax.Array:
     """features [N, Cin] x rulebook ([K, R] idx + found) x weights
     [K, Cin, Cout] -> [R, Cout] float32.
 
     Semantics identical to ``sparse_conv.submanifold_conv`` /
     ``strided_sparse_conv`` (without bias/valid-masking, which callers
     apply): ``out[r] = sum_k found[k, r] * features[idx[k, r]] @ W[k]``.
+    Monotone (key-sorted) rulebooks run the Pallas windowed kernel;
+    anything else falls back to the XLA path inside the same jit program.
 
-    Differentiable: forward is the Pallas kernel; the backward pass is
-    plain XLA (masked scatter-add for d/dfeatures, per-tap GEMMs for
-    d/dweights) — gradients match the XLA reference path.
+    Differentiable: backward is plain XLA (masked scatter-add for
+    d/dfeatures, per-tap GEMMs for d/dweights).
     """
     return _gather_gemm_impl(features, gather_idx, found, weights,
-                             interpret)
+                             interpret=interpret, tile=tile,
+                             window=window)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "window"))
 def _gather_gemm_impl(features, gather_idx, found, weights,
-                      interpret=None):
+                      interpret=None, tile=256, window=768):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, Cin = features.shape
     K, R = gather_idx.shape
-    # Mosaic's gather needs index shape == operand shape: pad both the
-    # feature table and the rulebook rows to L = max(N, R)
-    L = max(N, R)
-    if N < L:
-        features = jnp.pad(features, ((0, L - N), (0, 0)))
-    if R < L:
-        pad = ((0, 0), (0, L - R))
-        gather_idx = jnp.pad(gather_idx, pad)
-        found = jnp.pad(found, pad)
-    mask = found.astype(features.dtype)
-    idx = jnp.clip(gather_idx.astype(jnp.int32), 0, L - 1)
+    Cout = weights.shape[-1]
+    TN, W = int(tile), int(window)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, K=K),
-        out_shape=jax.ShapeDtypeStruct((L, weights.shape[-1]), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(features, idx, mask, weights.astype(features.dtype))
+    # pad rows to a tile multiple covering both table and rulebook
+    L = max(N, R)
+    L = -(-L // TN) * TN
+    feats = jnp.pad(features, ((0, L - N), (0, 0)))
+    idx = jnp.pad(jnp.clip(gather_idx.astype(jnp.int32), 0, L - 1),
+                  ((0, 0), (0, L - R)))
+    mask = jnp.pad(found, ((0, 0), (0, L - R))).astype(jnp.int32)
+
+    def xla_only(f, i, m, w):
+        g = jnp.where(m.astype(bool)[:, :, None], f[i], 0)
+        g = jnp.transpose(g, (1, 0, 2)).reshape(L, K * Cin)
+        return jnp.dot(g, w.reshape(K * Cin, Cout),
+                       preferred_element_type=jnp.float32)
+
+    if W > L:   # table smaller than one window: nothing to tile
+        return xla_only(feats, idx, mask,
+                        weights.astype(features.dtype))[:R]
+
+    # per-(tap, tile) window starts + fallback test, in XLA
+    n_tiles = L // TN
+    idx_t = idx.reshape(K, n_tiles, TN)
+    mask_t = mask.reshape(K, n_tiles, TN).astype(bool)
+    big = jnp.int32(L)
+    mins = jnp.min(jnp.where(mask_t, idx_t, big), axis=-1)      # [K, nt]
+    maxs = jnp.max(jnp.where(mask_t, idx_t, -1), axis=-1)
+    # round starts down to 128 (DMA offset alignment on the minor axis)
+    win_start = jnp.clip(jnp.where(mins == big, 0, mins), 0,
+                         max(L - W, 0)) // 128 * 128
+    # monotone per tap over the found entries: every found index equals
+    # the running max of found indices so far
+    cm = lax.cummax(jnp.where(mask.astype(bool), idx, -1), axis=1)
+    monotone = jnp.all(jnp.where(mask.astype(bool), idx == cm, True))
+    fits = jnp.all(maxs - win_start < W) & (L >= W) & monotone
+    win_flat = win_start.reshape(-1)
+
+    def pallas_path(args):
+        f, i, m, wf, w = args
+        return _pallas_gather_gemm(f.T, i, m, wf, w, TN=TN, W=W,
+                                   interpret=interpret)
+
+    def xla_path(args):
+        f, i, m, _, w = args
+        return xla_only(f, i, m, w)
+
+    out = lax.cond(fits, pallas_path, xla_path,
+                   (feats, idx, mask, win_flat,
+                    weights.astype(features.dtype)))
     return out[:R]
 
 
-def _gather_gemm_fwd(features, gather_idx, found, weights, interpret):
-    out = _gather_gemm_impl(features, gather_idx, found, weights, interpret)
+def _gather_gemm_fwd(features, gather_idx, found, weights, interpret,
+                     tile, window):
+    out = _gather_gemm_impl(features, gather_idx, found, weights,
+                            interpret=interpret, tile=tile, window=window)
     return out, (features, gather_idx, found, weights)
 
 
-def _gather_gemm_bwd(interpret, res, dout):
+def _gather_gemm_bwd(interpret, tile, window, res, dout):
     features, gather_idx, found, weights = res
     N = features.shape[0]
     K, R = gather_idx.shape
@@ -105,8 +202,7 @@ def _gather_gemm_bwd(interpret, res, dout):
     # dfeats[idx[k, r]] += found[k, r] * dout[r] @ W[k]^T
     contrib = jnp.einsum("ro,kio->kri", dout, w32) * mask[:, :, None]
     dfeats = jnp.zeros((N, features.shape[1]), jnp.float32)
-    dfeats = dfeats.at[idx.reshape(-1)].add(
-        contrib.reshape(K * R, -1))
+    dfeats = dfeats.at[idx.reshape(-1)].add(contrib.reshape(K * R, -1))
     # dW[k] = (found * feats[idx[k]])^T @ dout
     gathered = features.astype(jnp.float32)[idx] * mask[:, :, None]
     dW = jnp.einsum("kri,ro->kio", gathered, dout)

@@ -116,33 +116,56 @@ def voxelize(points: jax.Array,
     pts_sorted = points[order]
     c_sorted = c[order]
 
-    # gather-based construction: instead of scattering all P points into
-    # [V, T, C] (TPU scatters are the slow path), compute each slot's
-    # start position in the sorted buffer ([V]-sized scatters only) and
-    # GATHER the [V, T] window — a segment's first T FCFS points are
-    # exactly sorted positions start..start+T-1 (stable sort).
     head_ok = first & svalid & (slots < V)
-    pos = jnp.arange(P, dtype=jnp.int32)
-    head_tgt = jnp.where(head_ok, slots, V)
-    start_of_slot = jnp.full((V + 1,), P, jnp.int32).at[head_tgt].min(pos)
-    start_of_slot = start_of_slot[:V]
-    seg_count = jnp.zeros((V + 1,), jnp.int32).at[
-        jnp.where(svalid & (slots < V), slots, V)
-    ].add((svalid & (slots < V)).astype(jnp.int32))[:V]
-    num_points = jnp.minimum(seg_count, T)
-
-    gather = jnp.clip(start_of_slot[:, None] + jnp.arange(T)[None, :],
-                      0, P - 1)                                    # [V, T]
-    tmask = jnp.arange(T)[None, :] < num_points[:, None]
-    voxels = jnp.where(tmask[..., None],
-                       pts_sorted[gather.reshape(-1)].reshape(V, T, C), 0.0)
-
-    head_idx = jnp.clip(start_of_slot, 0, P - 1)
-    coords = jnp.where((num_points > 0)[:, None],
-                       c_sorted[head_idx][:, ::-1], -1).astype(jnp.int32)
-
     num_voxels = jnp.sum(head_ok).astype(jnp.int32)
-    return VoxelizationResult(voxels, coords, num_points, num_voxels)
+
+    if V * T <= 2 * P:
+        # gather-based construction: instead of scattering all P points
+        # into [V, T, C] (TPU scatters are the slow path), compute each
+        # slot's start position in the sorted buffer ([V]-sized scatters
+        # only) and GATHER the [V, T] window — a segment's first T FCFS
+        # points are exactly sorted positions start..start+T-1 (stable
+        # sort).  Wins when the [V, T] slot grid isn't much larger than
+        # the point buffer (e.g. SECOND's T=5); for high per-voxel caps
+        # (pillars, T=32) the padded gather does T/avg_occupancy x the
+        # work of the scatter, so that shape keeps the scatter.
+        pos = jnp.arange(P, dtype=jnp.int32)
+        head_tgt = jnp.where(head_ok, slots, V)
+        start_of_slot = jnp.full((V + 1,), P, jnp.int32).at[head_tgt].min(
+            pos)[:V]
+        seg_count = jnp.zeros((V + 1,), jnp.int32).at[
+            jnp.where(svalid & (slots < V), slots, V)
+        ].add((svalid & (slots < V)).astype(jnp.int32))[:V]
+        num_points = jnp.minimum(seg_count, T)
+
+        gather = jnp.clip(start_of_slot[:, None] + jnp.arange(T)[None, :],
+                          0, P - 1)                                # [V, T]
+        tmask = jnp.arange(T)[None, :] < num_points[:, None]
+        voxels = jnp.where(
+            tmask[..., None],
+            pts_sorted[gather.reshape(-1)].reshape(V, T, C), 0.0)
+
+        head_idx = jnp.clip(start_of_slot, 0, P - 1)
+        coords = jnp.where((num_points > 0)[:, None],
+                           c_sorted[head_idx][:, ::-1], -1).astype(jnp.int32)
+        return VoxelizationResult(voxels, coords, num_points, num_voxels)
+
+    # scatter-based construction (P scattered rows < the [V, T] grid)
+    pt_ok = svalid & (slots < V) & (rank < T)
+    voxels = jnp.zeros((V + 1, T, C), points.dtype)
+    voxels = voxels.at[
+        jnp.where(pt_ok, slots, V), jnp.where(pt_ok, rank, 0)
+    ].set(jnp.where(pt_ok[:, None], pts_sorted, 0.0))
+
+    coords = jnp.full((V + 1, 3), -1, jnp.int32)
+    coords = coords.at[jnp.where(head_ok, slots, V)].set(
+        jnp.where(head_ok[:, None], c_sorted[:, ::-1], -1))
+
+    num_points = jnp.zeros((V + 1,), jnp.int32)
+    num_points = num_points.at[jnp.where(pt_ok, slots, V)].add(
+        pt_ok.astype(jnp.int32))
+    return VoxelizationResult(voxels[:V], coords[:V], num_points[:V],
+                              num_voxels)
 
 
 @functools.partial(

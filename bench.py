@@ -162,7 +162,7 @@ def bench_second_fhd(jax, jnp) -> dict:
     class FHDNet(nn.Module):
         @nn.compact
         def __call__(self, feats, coords, rulebooks):
-            bev = SparseMiddle(dtype=jnp.bfloat16,
+            bev = SparseMiddle(dtype=jnp.bfloat16, use_pallas_gemm=True,
                                **middle_kw)(feats, coords,
                                             rulebooks=rulebooks)
             return RPN(layer_nums=(5,), layer_strides=(1,),
@@ -183,6 +183,11 @@ def bench_second_fhd(jax, jnp) -> dict:
             voxels, coords, npts = vox.points_to_voxel_fast(
                 scan, VOXEL, RANGE, max_points=PPV, max_voxels=VCAP)
         nv = voxels.shape[0]
+        # key-sort rows: monotone rulebooks -> Pallas windowed gather-GEMM
+        keys = ((coords[:, 0].astype(np.int64) * GRID[1] + coords[:, 1])
+                * GRID[2] + coords[:, 2])
+        order = np.argsort(keys, kind="stable")
+        voxels, coords, npts = voxels[order], coords[order], npts[order]
         feats = voxels[:, :, :4].sum(1) / np.maximum(npts, 1)[:, None]
         cpad = np.full((VCAP, 3), -1, np.int32)
         cpad[:nv] = coords

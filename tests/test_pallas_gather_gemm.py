@@ -1,5 +1,7 @@
-"""Interpret-mode parity tests for the Pallas gather-GEMM sparse-conv
-kernel (north-star N1) against the XLA reference in ops.sparse_conv."""
+"""Interpret-mode parity tests for the Pallas windowed gather-GEMM
+sparse-conv kernel (north-star N1) against the XLA reference in
+ops.sparse_conv.  Key-sorted rulebooks run the Pallas path; unsorted or
+over-span rulebooks exercise the exact XLA fallback inside the wrapper."""
 import numpy as np
 import pytest
 
@@ -13,9 +15,11 @@ from automatic_as_built_reconstruction_tpu.ops.pallas import (  # noqa: E402
 GRID = (8, 12, 10)
 
 
-def random_sparse(rng, n_active=60, n_pad=20, cin=8):
+def random_sparse(rng, n_active=60, n_pad=20, cin=8, sort_keys=True):
     D, H, W = GRID
     lin = rng.choice(D * H * W, n_active, replace=False)
+    if sort_keys:
+        lin = np.sort(lin)
     coords = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
     coords = np.concatenate(
         [coords, np.full((n_pad, 3), -1)]).astype(np.int32)
@@ -27,28 +31,40 @@ def random_sparse(rng, n_active=60, n_pad=20, cin=8):
 
 
 class TestGatherGemm:
-    def test_matches_submanifold_conv(self):
+    @pytest.mark.parametrize("sort_keys", [True, False])
+    def test_matches_submanifold_conv(self, sort_keys):
+        """sorted -> Pallas windowed path; unsorted -> XLA fallback."""
         rng = np.random.default_rng(0)
-        feats, coords, valid = random_sparse(rng)
+        feats, coords, valid = random_sparse(rng, sort_keys=sort_keys)
         rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         ref = sc.submanifold_conv(feats, rb, w, valid=valid)
         out = sgg.gather_gemm(feats, rb.gather_idx, rb.found, w,
-                              interpret=True)
+                              True, 8, 48)
         out = jnp.where(valid[:, None], out, 0.0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_matches_strided_conv_padded_rows(self):
-        """R < N path: strided layout has fewer rows than the table."""
+    def test_pallas_path_actually_selected(self):
+        """The monotonicity predicate holds for a sorted rulebook
+        (guards against silently always falling back to XLA)."""
+        rng = np.random.default_rng(5)
+        feats, coords, valid = random_sparse(rng, sort_keys=True)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        idx = jnp.asarray(rb.gather_idx)
+        mask = jnp.asarray(rb.found)
+        cm = jax.lax.cummax(jnp.where(mask, idx, -1), axis=1)
+        assert bool(jnp.all(jnp.where(mask, idx == cm, True)))
+
+    def test_matches_strided_conv(self):
         rng = np.random.default_rng(1)
-        feats, coords, valid = random_sparse(rng)
+        feats, coords, valid = random_sparse(rng, sort_keys=True)
         layout = sc.build_strided_layout(coords, valid, GRID, (3, 3, 3),
                                          (2, 2, 2), (1, 1, 1), 48)
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         ref = sc.strided_sparse_conv(feats, layout, w)
         out = sgg.gather_gemm(feats, layout.gather_idx, layout.found, w,
-                              interpret=True)
+                              True, 8, 48)
         out = jnp.where(layout.out_valid[:, None], out, 0.0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
@@ -56,13 +72,13 @@ class TestGatherGemm:
     def test_more_rulebook_rows_than_features(self):
         """R > N path (capacity round-up): padded feature table."""
         rng = np.random.default_rng(2)
-        feats, coords, valid = random_sparse(rng)
+        feats, coords, valid = random_sparse(rng, sort_keys=True)
         layout = sc.build_strided_layout(coords, valid, GRID, (3, 3, 3),
                                          (2, 2, 2), (1, 1, 1), 128)
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         ref = sc.strided_sparse_conv(feats, layout, w)
         out = sgg.gather_gemm(feats, layout.gather_idx, layout.found, w,
-                              interpret=True)
+                              True, 8, 48)
         out = jnp.where(layout.out_valid[:, None], out, 0.0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
@@ -81,7 +97,7 @@ class TestSparseMiddlePallasPath:
         feats = np.zeros((B, V, 4), np.float32)
         for b in range(B):
             n = 48
-            lin = rng.choice(D * H * W, n, replace=False)
+            lin = np.sort(rng.choice(D * H * W, n, replace=False))
             coords[b, :n] = np.stack(
                 [lin // (H * W), (lin // W) % H, lin % W], 1)
             feats[b, :n] = rng.normal(size=(n, 4))
@@ -101,7 +117,7 @@ class TestSparseMiddlePallasPath:
 class TestGradients:
     def test_grads_match_xla_path(self):
         rng = np.random.default_rng(4)
-        feats, coords, valid = random_sparse(rng)
+        feats, coords, valid = random_sparse(rng, sort_keys=True)
         rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         cot = jnp.asarray(
@@ -113,7 +129,7 @@ class TestGradients:
 
         def loss_pl(f, ww):
             out = sgg.gather_gemm(f, rb.gather_idx, rb.found, ww,
-                                  True)
+                                  True, 8, 48)
             out = jnp.where(valid[:, None], out, 0.0)
             return jnp.sum(out * cot)
 

@@ -53,3 +53,23 @@ class TestFusedVoxelMean:
         assert int(out.num_voxels) == 1 or int(out.num_voxels) == 0
         # all-zero padded input collapses to at most the origin cell
         assert (np.asarray(out.num_points)[1:] == 0).all()
+
+
+class TestPallasPathSelected:
+    def test_key_order_monotone_starts(self):
+        """Key-order slot numbering gives monotone slot starts (the
+        Pallas windowed path's eligibility predicate)."""
+        rng = np.random.default_rng(42)
+        pts, nv = scan(rng)
+        out = voxel_mean.fused_voxelize_mean(
+            pts, nv, max_points=5, max_voxels=64,
+            first_appearance=False, interpret=True, tile=8, window=128,
+            **KW)
+        ref = voxelize_jax.voxelize(
+            pts, nv, max_points=5, max_voxels=64,
+            first_appearance=False, **KW)
+        ref_mean = (ref.voxels.sum(1)
+                    / jnp.maximum(ref.num_points, 1)[:, None])
+        np.testing.assert_allclose(np.asarray(ref_mean),
+                                   np.asarray(out.features), rtol=1e-6,
+                                   atol=1e-6)
