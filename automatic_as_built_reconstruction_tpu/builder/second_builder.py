@@ -62,6 +62,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         pc_range=tuple(voxel_generator.point_cloud_range),
         grid_size=tuple(int(g) for g in grid_size),
         middle_name=mid.module_class_name or "PointPillarsScatter",
+        sparse_use_pallas_gemm=model_cfg.use_pallas_sparse_gemm,
         middle_num_filters=middle_filters,
         middle_layers_per_block=middle_layers,
         middle_z_strides=middle_z,
