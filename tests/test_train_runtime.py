@@ -264,3 +264,33 @@ class TestObservability:
         assert (model_dir / "summary").exists()
         assert any((model_dir / "summary").iterdir())
         assert (model_dir / "profile").exists()
+
+
+class TestSparsePallasTrainRuntime:
+    """SECOND sparse training with the Pallas gather-GEMM config flags
+    (interpret mode on CPU): key-sorted voxels -> monotone rulebooks ->
+    windowed kernel, with the custom-VJP backward."""
+
+    @pytest.fixture(scope="class")
+    def pallas_cfg_path(self, tmp_path_factory):
+        cfg = SPARSE_MICRO_CONFIG.replace(
+            "  second: {",
+            "  second: {\n    use_pallas_sparse_gemm: true", 1,
+        ).replace(
+            "max_number_of_voxels: 256\n    shuffle_points: true",
+            "max_number_of_voxels: 256\n    sort_voxels_by_key: true\n"
+            "    shuffle_points: true",
+        )
+        p = tmp_path_factory.mktemp("cfg") / "micro_sparse_pallas.config"
+        p.write_text(cfg)
+        return p
+
+    def test_train_eval_with_pallas_gemm(self, pallas_cfg_path, tmp_path):
+        model_dir = tmp_path / "sp_pl"
+        bundle = train_mod.Bundle(pallas_cfg_path)
+        assert bundle.model_cfg.sparse_use_pallas_gemm
+        state = train_mod.train(pallas_cfg_path, model_dir, max_steps=2,
+                                display_step=1)
+        assert int(state["step"]) == 2
+        result = train_mod.evaluate(pallas_cfg_path, model_dir)
+        assert np.isfinite(result["mAP.bev"])
