@@ -222,3 +222,41 @@ class TestDistributedHelpers:
             distributed)
         s = distributed.local_batch_slice(8)   # single process -> all
         assert (s.start, s.stop) == (0, 8)
+
+
+class TestPodInferenceSparse:
+    def test_sparse_middle_device_only(self):
+        """SECOND-style sparse model served fully on device: on-device
+        voxelization + LUT rulebook construction + sparse middle + NMS,
+        batch-sharded over the mesh — no host prep stage at all."""
+        rng = np.random.default_rng(11)
+        cfg = VoxelNetConfig(
+            num_class=1, vfe_name="SimpleVoxel",
+            voxel_size=(1.0, 1.0, 0.5), pc_range=(0, -8, -2, 16, 8, 2),
+            grid_size=(16, 16, 8),
+            middle_name="SpMiddleFHD",
+            middle_num_filters=(8, 16), middle_layers_per_block=(1, 1),
+            middle_z_strides=(2, 2), middle_xy_strides=(2, 2),
+            rpn_layer_nums=(1,), rpn_layer_strides=(1,),
+            rpn_num_filters=(16,), rpn_upsample_strides=(1,),
+            rpn_num_upsample_filters=(16,), num_anchor_per_loc=2,
+            nms_pre_max_size=32, nms_post_max_size=4,
+            nms_score_threshold=0.0)
+        model = VoxelNet(cfg=cfg)
+        B, Pn = 8, 2000
+        pts = np.concatenate([
+            rng.uniform(0, 16, (B, Pn, 1)), rng.uniform(-8, 8, (B, Pn, 1)),
+            rng.uniform(-2, 2, (B, Pn, 1)), rng.random((B, Pn, 1))],
+            axis=-1).astype(np.float32)
+        nv = np.full((B,), Pn, np.int32)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 16, 4, 4)),
+                               jnp.zeros((1, 16), jnp.int32),
+                               jnp.full((1, 16, 3), -1, jnp.int32))
+        anchors = (rng.normal(size=(4 * 4 * 2, 7)) + 2).astype(np.float32)
+        mesh = data_parallel_mesh(8)
+        pod = PodInference(model, cfg, variables, anchors, mesh=mesh,
+                           max_voxels=512, max_points_per_voxel=4)
+        out = pod(pts, nv)
+        assert out["box3d_lidar"].shape[0] == B
+        assert np.isfinite(out["scores"]).all()
