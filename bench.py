@@ -79,17 +79,17 @@ def _loop_delta(jax, jnp, body, args, r_lo: int, r_hi: int,
     """
     from jax import lax
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def run(R, *a):
-        def step(acc, i):
-            return acc + body(i + acc * 1e-30, *a), None
-        total, _ = lax.scan(step, jnp.float32(0),
-                            jnp.arange(R, dtype=jnp.int32))
-        return total
+        # dynamic trip count: ONE compile serves every R (compiles here
+        # cost minutes through the remote-compile relay)
+        def step(i, acc):
+            return acc + body(i.astype(jnp.float32) + acc * 1e-30, *a)
+        return lax.fori_loop(0, R, step, jnp.float32(0))
 
     times = {}
     for R in (r_lo, r_hi):
-        float(run(R, *args))               # compile + warm
+        float(run(R, *args))               # compile(first)/warm
         best = np.inf
         for rep in range(reps):
             a0 = args[0] * np.float32(1 + 1e-6 * rep)
