@@ -486,11 +486,9 @@ def center_to_minmax_2d(centers, dims):
 
 def remove_outside_points(points, r_rect, velo2cam, P2, image_shape):
     """Frustum-crop a velodyne scan to the camera FOV. [ref: create_data]."""
-    C, R, T = projection_matrix_to_CRT_kitti(P2)
-    image_bbox = np.array([0, 0, image_shape[1], image_shape[0]], dtype=P2.dtype)
-    frustum = get_frustum(image_bbox, C)
-    frustum -= T
-    frustum = (np.linalg.inv(R) @ frustum.T).T
+    image_bbox = np.array([0, 0, image_shape[1], image_shape[0]],
+                          dtype=P2.dtype)
+    frustum = image_bbox_to_camera_frustum(P2, image_bbox)
     frustum = camera_to_lidar(frustum, r_rect, velo2cam)
     from . import geometry  # local import to keep module load light
     frustum_surfaces = geometry.corner_to_surfaces_3d_jit(frustum[None, ...])
@@ -498,32 +496,26 @@ def remove_outside_points(points, r_rect, velo2cam, P2, image_shape):
     return points[indices.reshape(-1)]
 
 
-def projection_matrix_to_CRT_kitti(proj):
-    """Decompose P = C @ [R|T] with RQ decomposition (KITTI devkit math)."""
-    CR = proj[0:3, 0:3]
-    CT = proj[0:3, 3]
-    RinvCinv = np.linalg.inv(CR)
-    Rinv, Cinv = np.linalg.qr(RinvCinv)
-    C = np.linalg.inv(Cinv)
-    R = np.linalg.inv(Rinv)
-    T = Cinv @ CT
-    return C, R, T
+def image_bbox_to_camera_frustum(proj, bbox, near=0.001, far=100.0):
+    """Camera-frame corners of the viewing frustum through an image rect.
 
-
-def get_frustum(bbox_image, C, near_clip=0.001, far_clip=100.0):
-    fku = C[0, 0]
-    fkv = -C[1, 1]
-    u0v0 = C[0:2, 2]
-    z_points = np.array([near_clip] * 4 + [far_clip] * 4, dtype=C.dtype)[:, None]
-    b = bbox_image
-    box_corners = np.array(
-        [[b[0], b[1]], [b[0], b[3]], [b[2], b[3]], [b[2], b[1]]], dtype=C.dtype)
-    near_box_corners = (box_corners - u0v0) / np.array(
-        [fku / near_clip, -fkv / near_clip], dtype=C.dtype)
-    far_box_corners = (box_corners - u0v0) / np.array(
-        [fku / far_clip, -fkv / far_clip], dtype=C.dtype)
-    ret_xy = np.concatenate([near_box_corners, far_box_corners], axis=0)
-    return np.concatenate([ret_xy, z_points], axis=1)
+    A rectified pixel (u, v) at depth z satisfies
+    ``proj @ [X, 1] = z * [u, v, 1]``, so the camera-frame unprojection
+    is simply ``X = M^-1 (z [u, v, 1] - b)`` with ``M`` proj's left 3x3
+    block and ``b`` its last column — no intrinsics/rotation split
+    needed.  Returns [8, 3]: the four bbox corners (clockwise from the
+    top-left) on the near plane, then on the far plane.
+    """
+    m_inv = np.linalg.inv(proj[:3, :3])
+    shift = proj[:3, 3]
+    u0, v0, u1, v1 = (np.asarray(bbox, proj.dtype)[i] for i in range(4))
+    px = np.array([[u0, v0], [u0, v1], [u1, v1], [u1, v0]], proj.dtype)
+    planes = []
+    for z in (near, far):
+        uvz = np.concatenate(
+            [px * z, np.full((4, 1), z, proj.dtype)], axis=1)
+        planes.append((uvz - shift) @ m_inv.T)
+    return np.concatenate(planes, axis=0)
 
 
 # ---------------------------------------------------------------------------

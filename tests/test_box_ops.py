@@ -183,3 +183,47 @@ class TestMisc:
         lidar = box_ops.box_camera_to_lidar(boxes_cam, r_rect, velo2cam)
         back = box_ops.box_lidar_to_camera(lidar, r_rect, velo2cam)
         np.testing.assert_allclose(back, boxes_cam, atol=1e-10)
+
+
+class TestFrustumCrop:
+    def test_remove_outside_points_pinhole(self):
+        """Synthetic pinhole camera: only points projecting inside the
+        image survive the frustum crop."""
+        from automatic_as_built_reconstruction_tpu.core import box_ops
+        rng = np.random.default_rng(0)
+        fx = fy = 500.0
+        cx, cy = 320.0, 240.0
+        P2 = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]],
+                      np.float32)
+        r_rect = np.eye(4, dtype=np.float32)
+        # lidar x-forward -> camera z-forward
+        velo2cam = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                             [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+        pts = np.concatenate([
+            rng.uniform(1, 50, (4000, 1)),          # forward
+            rng.uniform(-40, 40, (4000, 1)),        # left
+            rng.uniform(-10, 10, (4000, 1)),        # up
+            rng.random((4000, 1))], axis=1).astype(np.float32)
+        kept = box_ops.remove_outside_points(pts, r_rect, velo2cam, P2,
+                                             image_shape=(480, 640))
+        assert 0 < len(kept) < len(pts)
+        # oracle: project every point, compare membership
+        cam = box_ops.lidar_to_camera(pts[:, :3], r_rect, velo2cam)
+        uv = box_ops.project_to_image(cam, P2)
+        in_img = ((cam[:, 2] > 0) & (uv[:, 0] >= 0) & (uv[:, 0] <= 640)
+                  & (uv[:, 1] >= 0) & (uv[:, 1] <= 480)
+                  & (cam[:, 2] < 100.0))
+        assert len(kept) == int(in_img.sum())
+
+    def test_frustum_corners_unproject_exactly(self):
+        from automatic_as_built_reconstruction_tpu.core import box_ops
+        P2 = np.array([[700.0, 1.5, 600, 45.0], [0, 710, 170, 0.3],
+                       [0, 0, 1, 0.005]], np.float64)
+        bbox = np.array([0, 0, 1242, 375], np.float64)
+        fr = box_ops.image_bbox_to_camera_frustum(P2, bbox, near=0.01,
+                                                  far=80.0)
+        # every corner re-projects onto its source pixel
+        uv = box_ops.project_to_image(fr, P2)
+        expect = np.array([[0, 0], [0, 375], [1242, 375], [1242, 0]] * 2,
+                          np.float64)
+        np.testing.assert_allclose(uv, expect, atol=1e-6)
