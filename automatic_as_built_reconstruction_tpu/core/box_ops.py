@@ -44,14 +44,19 @@ def corners_nd(dims: np.ndarray, origin=0.5) -> np.ndarray:
     """
     dims = np.asarray(dims)
     ndim = dims.shape[-1]
-    # binary counting corners: for ndim=2 -> (0,0),(0,1),(1,1),(1,0) pattern
-    corners_norm = np.stack(
-        np.unravel_index(np.arange(2**ndim), [2] * ndim), axis=1
-    ).astype(dims.dtype)
+    # unit-square/cube corners traversed as a ring — (0,0) -> (0,1) ->
+    # (1,1) -> (1,0) — so consecutive corners share an edge (polygon-clip
+    # and surface code depend on this ordering).  In 3D the ring runs in
+    # the last two axes, once per half along the first axis.
+    ring = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dims.dtype)
     if ndim == 2:
-        corners_norm = corners_norm[[0, 1, 3, 2]]
+        corners_norm = ring
     elif ndim == 3:
-        corners_norm = corners_norm[[0, 1, 3, 2, 4, 5, 7, 6]]
+        corners_norm = np.concatenate([
+            np.concatenate([np.full((4, 1), h, dims.dtype), ring], axis=1)
+            for h in (0, 1)])
+    else:
+        raise ValueError(f"unsupported ndim {ndim}")
     corners_norm = corners_norm - np.asarray(origin, dtype=dims.dtype)
     return dims.reshape(-1, 1, ndim) * corners_norm.reshape(1, 2**ndim, ndim)
 
