@@ -48,6 +48,9 @@ def _load():
     lib.abr_points_to_voxel.restype = ctypes.c_int
     lib.abr_points_to_voxel.argtypes = [fp, i64, i64, fp, fp, i64, i64,
                                         fp, ip32, ip32]
+    lib.abr_voxelize_sorted_mean.restype = ctypes.c_int
+    lib.abr_voxelize_sorted_mean.argtypes = [fp, i64, i64, fp, fp, i64,
+                                             i64, fp, ip32, ip32]
     lib.abr_points_in_rbbox.restype = None
     lib.abr_points_in_rbbox.argtypes = [fp, i64, i64, fp, i64, up]
     lib.abr_box_collision_test.restype = None
@@ -92,6 +95,25 @@ def points_to_voxel(points, voxel_size, coors_range, max_points: int,
         np.asarray(coors_range, np.float32), max_points, max_voxels,
         voxels, coords, npts)
     return voxels[:nv], coords[:nv], npts[:nv]
+
+
+def voxelize_sorted_mean(points, voxel_size, coors_range, max_points: int,
+                         max_voxels: int):
+    """Fused FCFS voxelization + capped per-voxel mean, key-sorted output
+    (the SECOND/SimpleVoxel input stage in one native pass; monotone
+    rulebooks downstream).  Returns (means [V, C] zero-padded,
+    coords [V, 3] zyx with -1 padding, counts [V], num_voxels)."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    P, C = points.shape
+    means = np.empty((max_voxels, C), np.float32)
+    coords = np.empty((max_voxels, 3), np.int32)
+    counts = np.empty((max_voxels,), np.int32)
+    nv = lib.abr_voxelize_sorted_mean(
+        points, P, C, np.asarray(voxel_size, np.float32),
+        np.asarray(coors_range, np.float32), max_points, max_voxels,
+        means, coords, counts)
+    return means, coords, counts, nv
 
 
 def points_in_rbbox(points, boxes) -> np.ndarray:

@@ -177,27 +177,37 @@ def bench_second_fhd(jax, jnp) -> dict:
 
     def host_stage(scan):
         if native.AVAILABLE:
-            voxels, coords, npts = native.points_to_voxel(
+            # fused FCFS voxelize + capped mean, key-sorted (one C pass;
+            # monotone rulebooks -> Pallas windowed gather-GEMM)
+            fpad, cpad, _, _ = native.voxelize_sorted_mean(
                 scan, VOXEL, RANGE, PPV, VCAP)
         else:
             voxels, coords, npts = vox.points_to_voxel_fast(
                 scan, VOXEL, RANGE, max_points=PPV, max_voxels=VCAP)
-        nv = voxels.shape[0]
-        # key-sort rows: monotone rulebooks -> Pallas windowed gather-GEMM
-        keys = ((coords[:, 0].astype(np.int64) * GRID[1] + coords[:, 1])
-                * GRID[2] + coords[:, 2])
-        order = np.argsort(keys, kind="stable")
-        voxels, coords, npts = voxels[order], coords[order], npts[order]
-        feats = voxels[:, :, :4].sum(1) / np.maximum(npts, 1)[:, None]
-        cpad = np.full((VCAP, 3), -1, np.int32)
-        cpad[:nv] = coords
-        fpad = np.zeros((VCAP, 4), np.float32)
-        fpad[:nv] = feats
+            nv = voxels.shape[0]
+            keys = ((coords[:, 0].astype(np.int64) * GRID[1]
+                     + coords[:, 1]) * GRID[2] + coords[:, 2])
+            order = np.argsort(keys, kind="stable")
+            voxels, coords, npts = (voxels[order], coords[order],
+                                    npts[order])
+            feats = voxels[:, :, :4].sum(1) / np.maximum(npts, 1)[:, None]
+            cpad = np.full((VCAP, 3), -1, np.int32)
+            cpad[:nv] = coords
+            fpad = np.zeros((VCAP, 4), np.float32)
+            fpad[:nv] = feats
         books = rbh.build_middle_rulebooks(cpad, PLAN)
         return fpad, cpad, books
 
-    # host stage with the input pipeline's worker pool (C++ releases GIL)
-    with cf.ThreadPoolExecutor(8) as pool:
+    # host stage with the input pipeline's worker pool (C++ releases the
+    # GIL); pool sized to the machine — oversubscribing a small host only
+    # adds GIL/context-switch overhead
+    import os
+    try:
+        n_cores = len(os.sched_getaffinity(0))   # honors cgroup limits
+    except AttributeError:
+        n_cores = os.cpu_count() or 1
+    n_workers = max(1, min(8, n_cores))
+    with cf.ThreadPoolExecutor(n_workers) as pool:
         list(pool.map(host_stage, scans[:4]))          # warm the pool
         t0 = time.perf_counter()
         prepped = list(pool.map(host_stage, scans))

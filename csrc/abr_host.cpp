@@ -75,6 +75,85 @@ int abr_points_to_voxel(const float* points, int64_t P, int64_t C,
 }
 
 // ---------------------------------------------------------------------------
+// Fused voxelize + capped mean, key-sorted output — the host twin of the
+// ops/pallas/voxel_mean.py kernel (SECOND's SimpleVoxel input stage).
+// Emits per-voxel means of the first `max_points` FCFS points directly,
+// with voxels ordered by ascending linear key (z*gy + y)*gx + x so the
+// downstream sparse-conv rulebooks are monotone per tap.  Skips the
+// [V, T, C] voxel buffer, the separate mean pass, and the numpy re-sort.
+// means: [max_voxels, C]; coords: [max_voxels, 3] int32 (z, y, x);
+// counts: [max_voxels] int32.  Returns the number of voxels.
+int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
+                             const float* voxel_size,
+                             const float* coors_range, int64_t max_points,
+                             int64_t max_voxels, float* means,
+                             int32_t* coords, int32_t* counts) {
+  const double vx = voxel_size[0], vy = voxel_size[1], vz = voxel_size[2];
+  const double x0 = coors_range[0], y0 = coors_range[1],
+               z0 = coors_range[2];
+  const int64_t gx = (int64_t)std::round((coors_range[3] - x0) / vx);
+  const int64_t gy = (int64_t)std::round((coors_range[4] - y0) / vy);
+  const int64_t gz = (int64_t)std::round((coors_range[5] - z0) / vz);
+
+  std::unordered_map<int64_t, int32_t> key_to_slot;
+  key_to_slot.reserve((size_t)std::min<int64_t>(P, max_voxels) * 2);
+  std::vector<int64_t> slot_key;
+  slot_key.reserve(max_voxels);
+  std::vector<double> sums((size_t)max_voxels * C, 0.0);
+  std::vector<int32_t> cnt((size_t)max_voxels, 0);
+
+  for (int64_t i = 0; i < P; ++i) {
+    const float* p = points + i * C;
+    const int64_t cxi = (int64_t)std::floor((p[0] - x0) / vx);
+    const int64_t cyi = (int64_t)std::floor((p[1] - y0) / vy);
+    const int64_t czi = (int64_t)std::floor((p[2] - z0) / vz);
+    if (cxi < 0 || cxi >= gx || cyi < 0 || cyi >= gy || czi < 0 ||
+        czi >= gz)
+      continue;
+    const int64_t key = (czi * gy + cyi) * gx + cxi;
+    auto it = key_to_slot.find(key);
+    int32_t s;
+    if (it == key_to_slot.end()) {
+      if ((int64_t)slot_key.size() >= max_voxels) continue;
+      s = (int32_t)slot_key.size();
+      key_to_slot.emplace(key, s);
+      slot_key.push_back(key);
+    } else {
+      s = it->second;
+    }
+    if (cnt[s] < max_points) {
+      for (int64_t c = 0; c < C; ++c) sums[(size_t)s * C + c] += p[c];
+      ++cnt[s];
+    }
+  }
+
+  const int64_t nv = (int64_t)slot_key.size();
+  std::vector<int32_t> order(nv);
+  for (int64_t s = 0; s < nv; ++s) order[s] = (int32_t)s;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return slot_key[a] < slot_key[b];
+  });
+
+  for (int64_t o = 0; o < nv; ++o) {
+    const int32_t s = order[o];
+    const int64_t key = slot_key[s];
+    const int32_t n = cnt[s];
+    for (int64_t c = 0; c < C; ++c)
+      means[o * C + c] = (float)(sums[(size_t)s * C + c] / std::max(n, 1));
+    coords[o * 3 + 0] = (int32_t)(key / (gy * gx));
+    coords[o * 3 + 1] = (int32_t)((key / gx) % gy);
+    coords[o * 3 + 2] = (int32_t)(key % gx);
+    counts[o] = n;
+  }
+  for (int64_t o = nv; o < max_voxels; ++o) {
+    for (int64_t c = 0; c < C; ++c) means[o * C + c] = 0.0f;
+    coords[o * 3 + 0] = coords[o * 3 + 1] = coords[o * 3 + 2] = -1;
+    counts[o] = 0;
+  }
+  return (int)nv;
+}
+
+// ---------------------------------------------------------------------------
 // points_in_rbbox: [P,>=3] points vs [N,7] (x,y,z,w,l,h,yaw; bottom-center)
 // out: [P, N] uint8
 void abr_points_in_rbbox(const float* points, int64_t P, int64_t C,

@@ -75,3 +75,36 @@ class TestNativeGeometry:
         ref = nms_np.rotate_nms(boxes, scores, 0.3)
         got = native.rotate_nms(boxes, scores, 0.3)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestVoxelizeSortedMean:
+    def test_matches_unfused_reference(self):
+        from automatic_as_built_reconstruction_tpu import native
+        from automatic_as_built_reconstruction_tpu.core import voxelize
+        if not native.AVAILABLE:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            rng.uniform(0, 16, (3000, 2)), rng.uniform(0, 4, (3000, 1)),
+            rng.random((3000, 1))], axis=1).astype(np.float32)
+        vs, cr, T, V = (0.5, 0.5, 0.5), (0, 0, 0, 16, 16, 4), 5, 256
+        means, coords, counts, nv = native.voxelize_sorted_mean(
+            pts, vs, cr, T, V)
+        # reference: FCFS hard voxelize then capped mean, re-sorted by key
+        voxels_r, coords_r, npts_r = voxelize.points_to_voxel(
+            pts, vs, cr, max_points=T, max_voxels=V)
+        keys = ((coords_r[:, 0].astype(np.int64) * 32 + coords_r[:, 1])
+                * 32 + coords_r[:, 2])
+        order = np.argsort(keys, kind="stable")
+        ref_means = (voxels_r.sum(1)
+                     / np.maximum(npts_r, 1)[:, None])[order]
+        assert nv == len(coords_r)
+        np.testing.assert_array_equal(coords[:nv], coords_r[order])
+        np.testing.assert_array_equal(counts[:nv], npts_r[order])
+        np.testing.assert_allclose(means[:nv], ref_means, rtol=1e-5,
+                                   atol=1e-5)
+        # keys ascending, padding clean
+        k2 = ((coords[:nv, 0].astype(np.int64) * 32 + coords[:nv, 1])
+              * 32 + coords[:nv, 2])
+        assert (np.diff(k2) > 0).all()
+        assert (coords[nv:] == -1).all() and (counts[nv:] == 0).all()
