@@ -37,6 +37,28 @@ class SimpleVoxel(nn.Module):
         return pts.sum(axis=2) / denom
 
 
+class SimpleVoxelRadius(nn.Module):
+    """Mean-of-points VFE with the BEV position folded to a radius:
+    emits [sqrt(mean_x^2 + mean_y^2), mean_z, mean_extra...] — the
+    lineage's rotation-invariant SimpleVoxel variant.
+
+    [ref: second/pytorch/models/voxel_encoder.py::SimpleVoxelRadius —
+    lineage-expected, UNVERIFIED]
+    """
+
+    num_input_features: int = 4
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords=None, *,
+                 train: bool = False):
+        mask = points_mask(num_points, voxels.shape[2], voxels.dtype)
+        pts = voxels[..., : self.num_input_features] * mask
+        denom = jnp.maximum(num_points[..., None], 1).astype(voxels.dtype)
+        mean = pts.sum(axis=2) / denom
+        radius = jnp.linalg.norm(mean[..., :2], axis=-1, keepdims=True)
+        return jnp.concatenate([radius, mean[..., 2:]], axis=-1)
+
+
 class VFELayer(nn.Module):
     """VoxelNet-paper VFE layer: pointwise FC+BN+ReLU, concat max-pooled
     voxel context back onto each point."""

@@ -26,20 +26,31 @@ from . import losses as losses_mod
 from .middle import DenseMiddle, SparseMiddle
 from .pointpillars import PillarFeatureNet, PointPillarsScatter
 from .rpn import RPN
-from .voxel_encoder import SimpleVoxel, VoxelFeatureExtractor
+from .voxel_encoder import (SimpleVoxel, SimpleVoxelRadius,
+                            VoxelFeatureExtractor)
 
 VFE_REGISTRY = {
     "SimpleVoxel": SimpleVoxel,
+    "SimpleVoxelRadius": SimpleVoxelRadius,
     "VoxelFeatureExtractor": VoxelFeatureExtractor,
+    "VoxelFeatureExtractorV2": VoxelFeatureExtractor,  # lineage alias
     "PillarFeatureNet": PillarFeatureNet,
+    "PillarFeatureNetRadius": PillarFeatureNet,        # lineage alias
 }
 
+# every lineage SpMiddle* spelling builds the same TPU sparse stack —
+# depth/filters come from the middle_feature_extractor config fields
 MIDDLE_REGISTRY = {
     "PointPillarsScatter": PointPillarsScatter,
     "DenseMiddle": DenseMiddle,
     "SparseMiddle": SparseMiddle,
-    "SpMiddleFHD": SparseMiddle,     # lineage name -> TPU sparse stack
+    "SpMiddleFHD": SparseMiddle,
+    "SpMiddleFHDV2": SparseMiddle,
+    "SpMiddleFHDLite": SparseMiddle,
+    "SpMiddleD4HD": SparseMiddle,
+    "SpMiddleD8HD": SparseMiddle,
     "SpMiddle2K": SparseMiddle,
+    "SpMiddle2KMerged": SparseMiddle,
 }
 
 
@@ -139,7 +150,7 @@ class VoxelNet(nn.Module):
         [ref: second/pytorch/train.py --measure_time])."""
         cfg = self.cfg
         vfe_cls = VFE_REGISTRY[cfg.vfe_name]
-        if cfg.vfe_name == "PillarFeatureNet":
+        if vfe_cls is PillarFeatureNet:
             vfe = vfe_cls(num_input_features=cfg.num_input_features,
                           num_filters=cfg.vfe_num_filters,
                           with_distance=cfg.with_distance,
@@ -148,7 +159,7 @@ class VoxelNet(nn.Module):
                           dtype=(jnp.bfloat16
                                  if cfg.compute_dtype == "bfloat16"
                                  else jnp.float32))
-        elif cfg.vfe_name == "VoxelFeatureExtractor":
+        elif vfe_cls is VoxelFeatureExtractor:
             vfe = vfe_cls(num_input_features=cfg.num_input_features,
                           num_filters=cfg.vfe_num_filters,
                           with_distance=cfg.with_distance)

@@ -198,3 +198,28 @@ class TestLossFunctions:
         assert np.asarray(cls_w)[0, 4] == 0.0  # ignored anchor
         np.testing.assert_array_equal(
             np.asarray(cared)[0], [True, True, True, True, False, True])
+
+
+class TestRegistryAliases:
+    def test_lineage_middle_names_build(self):
+        """Every lineage SpMiddle* spelling resolves to the sparse stack."""
+        from automatic_as_built_reconstruction_tpu.models.voxelnet import (
+            MIDDLE_REGISTRY)
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        for name in ("SpMiddleFHD", "SpMiddleFHDV2", "SpMiddleFHDLite",
+                     "SpMiddleD4HD", "SpMiddleD8HD", "SpMiddle2K",
+                     "SpMiddle2KMerged"):
+            assert MIDDLE_REGISTRY[name] is SparseMiddle
+
+    def test_simple_voxel_radius_forward(self):
+        cfg = tiny_cfg()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, vfe_name="SimpleVoxelRadius")
+        ex, _ = make_example(cfg)
+        model = VoxelNet(cfg=cfg)
+        variables = model.init(jax.random.key(0), ex["voxels"],
+                               ex["num_points"], ex["coordinates"])
+        preds = model.apply(variables, ex["voxels"], ex["num_points"],
+                            ex["coordinates"])
+        assert np.isfinite(np.asarray(preds["box_preds"])).all()
