@@ -11,6 +11,7 @@ from typing import Tuple
 
 import numpy as np
 
+from ..models import middle_plans
 from ..models.voxelnet import VoxelNet, VoxelNetConfig
 from ..protos import second_pb2
 from . import losses_builder
@@ -39,6 +40,13 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
     nb = len(middle_filters)
     is_sparse = (mid.module_class_name or "").startswith(("SpMiddle",
                                                           "SparseMiddle"))
+    # exact lineage layer plan when the name has one and the grid is deep
+    # enough for it (models/middle_plans.py); tiny test grids fall back to
+    # the parameterized heuristic below
+    grid_dhw = (int(grid_size[2]), int(grid_size[1]), int(grid_size[0]))
+    middle_blocks = middle_plans.lookup(mid.module_class_name or "",
+                                        grid_dhw) if is_sparse else None
+    middle_zpad = middle_plans.Z_PAD if middle_blocks is not None else 0
     if is_sparse:
         # z halves every block; xy downsample spread so the total equals
         # the configured downsample_factor
@@ -47,6 +55,12 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         middle_xy = tuple(2 if i < n_xy else 1 for i in range(nb))
         middle_z = tuple(2 for _ in range(nb))
         middle_layers = tuple(2 for _ in range(nb))
+        if middle_blocks is not None:
+            df_plan = middle_plans.xy_downsample(middle_blocks)
+            if df and df != df_plan:
+                print(f"WARNING: config downsample_factor {df} != lineage "
+                      f"plan {mid.module_class_name} xy downsample "
+                      f"{df_plan}; anchors use the config value")
     else:
         middle_xy = tuple(1 for _ in range(nb - 1)) + (2,)
         middle_z = tuple(2 for _ in range(nb))
@@ -67,6 +81,8 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         middle_layers_per_block=middle_layers,
         middle_z_strides=middle_z,
         middle_xy_strides=middle_xy,
+        middle_blocks=middle_blocks,
+        middle_zpad=middle_zpad,
         rpn_layer_nums=tuple(rpn.layer_nums) or (3, 5, 5),
         rpn_layer_strides=tuple(int(s) for s in rpn.layer_strides) or (2, 2, 2),
         rpn_num_filters=tuple(rpn.num_filters) or (128, 128, 256),

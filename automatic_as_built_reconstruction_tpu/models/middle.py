@@ -19,6 +19,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import sparse_conv as sc
 from ..ops.pallas import sparse_gather_gemm as sgg
@@ -133,6 +134,11 @@ class SparseMiddle(nn.Module):
     layers_per_block: Sequence[int] = (2, 2, 2)
     z_strides: Sequence[int] = (2, 2, 2)
     xy_strides: Sequence[int] = (1, 1, 2)
+    # explicit lineage layer plan (tuple of ops.sparse_conv.BlockSpec);
+    # overrides the four parameterized fields above when set — this is how
+    # SpMiddleFHD et al. get their exact per-variant architectures
+    # (models/middle_plans.py)
+    blocks: Tuple[sc.BlockSpec, ...] | None = None
     # active-site capacity multiplier applied after each strided conv
     # (stride-2 downsampling empirically shrinks active counts by ~2-4x;
     # rulebook/layout construction cost scales with the padded capacity)
@@ -141,8 +147,8 @@ class SparseMiddle(nn.Module):
     # compute dtype for gathers + GEMMs (bfloat16 halves the gather
     # bandwidth and runs the GEMMs at MXU rate; BN stats stay fp32)
     dtype: jnp.dtype = jnp.float32
-    # route the gather-GEMM through the Pallas kernel (VMEM-resident
-    # feature table + tpu.dynamic_gather per tap; see
+    # route the gather-GEMM through the Pallas windowed-DMA kernel
+    # (per-tile HBM->VMEM feature windows + one-hot MXU gathers; see
     # ops/pallas/sparse_gather_gemm.py) instead of the XLA fused gather
     use_pallas_gemm: bool = False
 
@@ -151,6 +157,11 @@ class SparseMiddle(nn.Module):
         return w
 
     def plan(self, v_cap: int):
+        if self.blocks is not None:
+            specs = tuple(sc.BlockSpec(*b) for b in self.blocks)
+            return sc.plan_from_specs(self.grid_dhw, v_cap, specs,
+                                      self.capacity_shrink,
+                                      self.min_capacity)
         return sc.make_plan(self.grid_dhw, v_cap, self.num_filters,
                             self.layers_per_block, self.z_strides,
                             self.xy_strides, self.capacity_shrink,
@@ -179,16 +190,21 @@ class SparseMiddle(nn.Module):
             else:
                 # dense-LUT on-device construction (scatter/gather/cumsum
                 # bandwidth, no sorts) — ~10x the sort-based builders
-                rb = jax.vmap(functools.partial(
-                    sc.build_submanifold_rulebook_lut, grid_dhw=blk.grid,
-                    kernel_size=blk.kernel))(cur_coords, valid)
+                rb = None
+                if blk.n_subm > 0:
+                    rb = jax.vmap(functools.partial(
+                        sc.build_submanifold_rulebook_lut,
+                        grid_dhw=blk.grid,
+                        kernel_size=blk.subm_kernel))(cur_coords, valid)
                 layout = jax.vmap(functools.partial(
                     sc.build_strided_layout_lut, grid_dhw=blk.grid,
                     kernel_size=blk.kernel, stride=blk.stride,
                     padding=blk.pad,
                     max_out=blk.out_cap))(cur_coords, valid)
+            k_subm = int(np.prod(blk.subm_kernel))
             for li in range(blk.n_subm):
-                w = self._conv_params(f"b{bi}_subm{li}", 27, cin, blk.cout)
+                w = self._conv_params(f"b{bi}_subm{li}", k_subm, cin,
+                                      blk.subm_channels)
                 if self.use_pallas_gemm:
                     # lax.map, not vmap: the kernel wrapper's lax.cond
                     # (pallas vs XLA fallback) must stay a cond — vmap
@@ -206,9 +222,10 @@ class SparseMiddle(nn.Module):
                 feats = MaskedBatchNorm(name=f"b{bi}_subm{li}_bn")(
                     feats, valid, train=train)
                 feats = nn.relu(feats) * valid[..., None]
-                cin = blk.cout
+                cin = blk.subm_channels
             # strided downsample conv
-            w = self._conv_params(f"b{bi}_down", 27, cin, blk.cout)
+            k_down = int(np.prod(blk.kernel))
+            w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
             if self.use_pallas_gemm:
                 wd = w.astype(self.dtype)
                 feats = jax.lax.map(

@@ -38,8 +38,10 @@ VFE_REGISTRY = {
     "PillarFeatureNetRadius": PillarFeatureNet,        # lineage alias
 }
 
-# every lineage SpMiddle* spelling builds the same TPU sparse stack —
-# depth/filters come from the middle_feature_extractor config fields
+# every lineage SpMiddle* spelling builds the TPU sparse stack; the exact
+# per-variant layer plan comes from models/middle_plans.py (wired in by
+# second_builder as cfg.middle_blocks), falling back to the parameterized
+# config fields for grids too small for the lineage plan
 MIDDLE_REGISTRY = {
     "PointPillarsScatter": PointPillarsScatter,
     "DenseMiddle": DenseMiddle,
@@ -48,10 +50,18 @@ MIDDLE_REGISTRY = {
     "SpMiddleFHDV2": SparseMiddle,
     "SpMiddleFHDLite": SparseMiddle,
     "SpMiddleD4HD": SparseMiddle,
+    "SpMiddleD4HDLite": SparseMiddle,
     "SpMiddleD8HD": SparseMiddle,
     "SpMiddle2K": SparseMiddle,
     "SpMiddle2KMerged": SparseMiddle,
 }
+
+
+def num_middle_blocks(cfg: "VoxelNetConfig") -> int:
+    """Block count of the sparse middle stack (explicit plan wins)."""
+    if cfg.middle_blocks is not None:
+        return len(cfg.middle_blocks)
+    return len(cfg.middle_num_filters)
 
 
 def middle_plan(cfg: "VoxelNetConfig", v_cap: int):
@@ -61,7 +71,11 @@ def middle_plan(cfg: "VoxelNetConfig", v_cap: int):
     from ..ops import sparse_conv as sc
     if MIDDLE_REGISTRY.get(cfg.middle_name) is not SparseMiddle:
         return None
-    grid_dhw = (cfg.grid_size[2], cfg.grid_size[1], cfg.grid_size[0])
+    grid_dhw = (cfg.grid_size[2] + cfg.middle_zpad, cfg.grid_size[1],
+                cfg.grid_size[0])
+    if cfg.middle_blocks is not None:
+        specs = tuple(sc.BlockSpec(*b) for b in cfg.middle_blocks)
+        return sc.plan_from_specs(grid_dhw, v_cap, specs)
     return sc.make_plan(grid_dhw, v_cap, cfg.middle_num_filters,
                         cfg.middle_layers_per_block, cfg.middle_z_strides,
                         cfg.middle_xy_strides)
@@ -87,6 +101,13 @@ class VoxelNetConfig:
     middle_layers_per_block: Tuple[int, ...] = (2, 2, 2)
     middle_z_strides: Tuple[int, ...] = (2, 2, 2)
     middle_xy_strides: Tuple[int, ...] = (1, 1, 2)
+    # exact lineage layer plan (tuple of BlockSpec tuples; overrides the
+    # four parameterized fields above — set by second_builder for lineage
+    # SpMiddle* names via models/middle_plans.py)
+    middle_blocks: Optional[Tuple[Tuple, ...]] = None
+    # extra z cells added to the sparse grid (the lineage
+    # sparse_shape = grid + [1, 0, 0] convention)
+    middle_zpad: int = 0
     # RPN
     rpn_layer_nums: Tuple[int, ...] = (3, 5, 5)
     rpn_layer_strides: Tuple[int, ...] = (2, 2, 2)
@@ -182,6 +203,9 @@ class VoxelNet(nn.Module):
                                    if cfg.compute_dtype == "bfloat16"
                                    else jnp.float32)
                 kwargs["use_pallas_gemm"] = cfg.sparse_use_pallas_gemm
+                kwargs["blocks"] = cfg.middle_blocks
+                grid_dhw = (grid_dhw[0] + cfg.middle_zpad, grid_dhw[1],
+                            grid_dhw[2])
             middle = middle_cls(
                 grid_dhw=grid_dhw,
                 num_input_features=voxel_features.shape[-1],

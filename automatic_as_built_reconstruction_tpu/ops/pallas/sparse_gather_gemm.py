@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -83,7 +84,7 @@ def _pallas_gather_gemm(featsT, idx, mask, win_start, weights, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),               # idx
             pl.BlockSpec(memory_space=pltpu.VMEM),               # mask
-            pl.BlockSpec(memory_space=pltpu.ANY),                # featsT HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
         ],
         out_specs=pl.BlockSpec((TN, Cout), lambda t, ws: (t, 0)),
@@ -98,6 +99,113 @@ def _pallas_gather_gemm(featsT, idx, mask, win_start, weights, *,
         out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
         interpret=interpret,
     )(win_start, idx, mask, featsT, weights)
+
+
+def _window_decision(idx, mask, L: int, TN: int, W: int):
+    """Per-(tap, tile) window starts + the pallas-vs-XLA routing test.
+
+    idx/mask are tile-padded [K, L] arrays.  Returns (win_start [K, L//TN],
+    fits bool): ``fits`` iff every tap's found indices are monotone AND
+    every tile's index span fits inside one W-wide window."""
+    K = idx.shape[0]
+    n_tiles = L // TN
+    idx_t = idx.reshape(K, n_tiles, TN)
+    mask_t = mask.reshape(K, n_tiles, TN).astype(bool)
+    big = jnp.int32(L)
+    mins = jnp.min(jnp.where(mask_t, idx_t, big), axis=-1)      # [K, nt]
+    maxs = jnp.max(jnp.where(mask_t, idx_t, -1), axis=-1)
+    # round starts down to 128 (DMA offset alignment on the minor axis)
+    win_start = jnp.clip(jnp.where(mins == big, 0, mins), 0,
+                         max(L - W, 0)) // 128 * 128
+    # monotone per tap over the found entries: every found index equals
+    # the running max of found indices so far
+    cm = lax.cummax(jnp.where(mask.astype(bool), idx, -1), axis=1)
+    monotone = jnp.all(jnp.where(mask.astype(bool), idx == cm, True))
+    fits = jnp.all(maxs - win_start < W) & (L >= W) & monotone
+    return win_start, fits
+
+
+def _pad_rulebook(gather_idx, found, N: int, TN: int):
+    K, R = gather_idx.shape
+    L = -(-max(N, R) // TN) * TN
+    idx = jnp.pad(jnp.clip(gather_idx.astype(jnp.int32), 0, L - 1),
+                  ((0, 0), (0, L - R)))
+    mask = jnp.pad(found, ((0, 0), (0, L - R))).astype(jnp.int32)
+    return idx, mask, L
+
+
+def pallas_fits(gather_idx: jax.Array, found: jax.Array, n_rows: int,
+                tile: int = 256, window: int = 768) -> jax.Array:
+    """Telemetry twin of the routing decision inside the kernel wrapper:
+    True iff ``gather_gemm`` with these args would take the Pallas path.
+    jit-able; use it to measure the fallback rate on real rulebooks
+    (bench.py reports ``pallas_fallback_rate``)."""
+    idx, mask, L = _pad_rulebook(gather_idx, found, int(n_rows), int(tile))
+    if int(window) > L:
+        return jnp.asarray(False)   # small-table XLA shortcut, not a miss
+    _, fits = _window_decision(idx, mask, L, int(tile), int(window))
+    return fits
+
+
+def _tile_min_max(gather_idx: np.ndarray, found: np.ndarray, n_rows: int,
+                  tile: int):
+    """Host twin of the per-(tap, tile) min/max reduction; returns
+    (mins, maxs, L) with empty tiles as (INT64_MAX, -1)."""
+    idx = np.asarray(gather_idx, np.int64)
+    m = np.asarray(found, bool)
+    K, R = idx.shape
+    TN = int(tile)
+    L = -(-max(int(n_rows), R) // TN) * TN
+    idx_p = np.zeros((K, L), np.int64)
+    idx_p[:, :R] = np.where(m, idx, 0)
+    m_p = np.zeros((K, L), bool)
+    m_p[:, :R] = m
+    idx_t = idx_p.reshape(K, -1, TN)
+    m_t = m_p.reshape(K, -1, TN)
+    mins = np.where(m_t, idx_t, np.iinfo(np.int64).max).min(-1)
+    maxs = np.where(m_t, idx_t, -1).max(-1)
+    return mins, maxs, L
+
+
+def tile_spans(gather_idx: np.ndarray, found: np.ndarray, n_rows: int,
+               tile: int = 256) -> np.ndarray:
+    """Host-side per-(tap, tile) index spans (max - 128-aligned window
+    start + 1) of a rulebook — the distribution ``choose_window`` sizes
+    the DMA window from.  Empty tiles report span 0."""
+    mins, maxs, _ = _tile_min_max(gather_idx, found, n_rows, tile)
+    start = np.where(maxs >= 0, mins, 0) // 128 * 128
+    return np.where(maxs >= 0, maxs - start + 1, 0).reshape(-1)
+
+
+def choose_window(rulebooks, n_rows: int, tile: int = 256,
+                  max_window: int = 4096, vmem_budget_bytes: int = 8 << 20,
+                  cin: int = 64, bytes_per_el: int = 2) -> int:
+    """Pick the DMA window from measured rulebooks: the smallest
+    128-multiple W for which every sampled (tap, tile) passes the exact
+    routing test in :func:`_window_decision` (including its end-of-table
+    clamp), bounded by ``max_window`` and by what the double-buffered
+    [2, Cin, W] VMEM scratch allows within ``vmem_budget_bytes``.
+
+    ``rulebooks``: iterable of (gather_idx, found) sampled from real
+    scans.  Returns the bound itself if nothing smaller fits (callers
+    should then expect XLA fallbacks — check ``pallas_fits``)."""
+    stats = [_tile_min_max(np.asarray(gi), np.asarray(fo), n_rows, tile)
+             for gi, fo in rulebooks]
+    vmem_cap = vmem_budget_bytes // (2 * cin * bytes_per_el) // 128 * 128
+    bound = int(min(max_window, max(vmem_cap, 128)))
+    for w in range(128, bound + 1, 128):
+        ok = True
+        for mins, maxs, L in stats:
+            if w > L:
+                ok = False      # small-table shortcut -> XLA, skip
+                break
+            start = np.clip(mins, 0, max(L - w, 0)) // 128 * 128
+            if not np.all(np.where(maxs >= 0, maxs - start, -1) < w):
+                ok = False
+                break
+        if ok:
+            return w
+    return bound
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -134,12 +242,8 @@ def _gather_gemm_impl(features, gather_idx, found, weights,
     TN, W = int(tile), int(window)
 
     # pad rows to a tile multiple covering both table and rulebook
-    L = max(N, R)
-    L = -(-L // TN) * TN
+    idx, mask, L = _pad_rulebook(gather_idx, found, N, TN)
     feats = jnp.pad(features, ((0, L - N), (0, 0)))
-    idx = jnp.pad(jnp.clip(gather_idx.astype(jnp.int32), 0, L - 1),
-                  ((0, 0), (0, L - R)))
-    mask = jnp.pad(found, ((0, 0), (0, L - R))).astype(jnp.int32)
 
     def xla_only(f, i, m, w):
         g = jnp.where(m.astype(bool)[:, :, None], f[i], 0)
@@ -151,21 +255,7 @@ def _gather_gemm_impl(features, gather_idx, found, weights,
         return xla_only(feats, idx, mask,
                         weights.astype(features.dtype))[:R]
 
-    # per-(tap, tile) window starts + fallback test, in XLA
-    n_tiles = L // TN
-    idx_t = idx.reshape(K, n_tiles, TN)
-    mask_t = mask.reshape(K, n_tiles, TN).astype(bool)
-    big = jnp.int32(L)
-    mins = jnp.min(jnp.where(mask_t, idx_t, big), axis=-1)      # [K, nt]
-    maxs = jnp.max(jnp.where(mask_t, idx_t, -1), axis=-1)
-    # round starts down to 128 (DMA offset alignment on the minor axis)
-    win_start = jnp.clip(jnp.where(mins == big, 0, mins), 0,
-                         max(L - W, 0)) // 128 * 128
-    # monotone per tap over the found entries: every found index equals
-    # the running max of found indices so far
-    cm = lax.cummax(jnp.where(mask.astype(bool), idx, -1), axis=1)
-    monotone = jnp.all(jnp.where(mask.astype(bool), idx == cm, True))
-    fits = jnp.all(maxs - win_start < W) & (L >= W) & monotone
+    win_start, fits = _window_decision(idx, mask, L, TN, W)
     win_flat = win_start.reshape(-1)
 
     def pallas_path(args):

@@ -152,7 +152,7 @@ def fused_voxelize_mean(points: jax.Array,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # start [1, Lv]
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # count [1, Lv]
-                pl.BlockSpec(memory_space=pltpu.ANY),       # ptsT HBM
+                pl.BlockSpec(memory_space=pl.ANY),          # ptsT HBM
             ],
             out_specs=pl.BlockSpec((TV, C), lambda t, ws: (t, 0)),
             scratch_shapes=[

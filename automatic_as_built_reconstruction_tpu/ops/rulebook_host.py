@@ -171,18 +171,29 @@ def strided_layout(coords: np.ndarray, grid, kernel, stride, pad,
 
 
 def block_rulebooks(coords: np.ndarray, blk: sc.BlockPlan):
-    """One block's (subm rulebook, strided layout) in a single native call
-    (sort + two-pointer merges; the sorted key table is shared between the
-    submanifold taps and the downsample conv).  Falls back to the per-part
-    numpy twins when the native library is unavailable."""
-    if not native.AVAILABLE:
-        gi, fo = subm_rulebook_np(coords, blk.grid, blk.kernel)
-        oc, ov, dgi, dfo, _ = strided_layout_np(
+    """One block's (subm rulebook, strided layout).
+
+    When the submanifold and strided kernels agree (the common 3x3x3
+    case) both come from a single native call that shares the sorted key
+    table (sort + two-pointer merges).  Lineage blocks with a z-only
+    strided kernel (3,1,1), or with no submanifold layers at all, split
+    into separate calls; ``n_subm == 0`` blocks skip the submanifold
+    rulebook entirely (zero-tap arrays keep the transport format fixed).
+    Falls back to the per-part numpy twins when the native library is
+    unavailable."""
+    N = coords.shape[0]
+    same_kernel = tuple(blk.subm_kernel) == tuple(blk.kernel)
+    if not native.AVAILABLE or not same_kernel or blk.n_subm == 0:
+        if blk.n_subm > 0:
+            gi, fo = subm_rulebook(coords, blk.grid, blk.subm_kernel)
+        else:
+            gi = np.zeros((0, N), np.int32)
+            fo = np.zeros((0, N), bool)
+        oc, ov, dgi, dfo, _ = strided_layout(
             coords, blk.grid, blk.kernel, blk.stride, blk.pad, blk.out_cap)
         return gi, fo, oc, ov, dgi, dfo
     lib = native._load()
     coords = np.ascontiguousarray(coords, np.int32)
-    N = coords.shape[0]
     K = int(np.prod(blk.kernel))
     M = blk.out_cap
     gi = np.empty((K, N), np.int32)

@@ -48,6 +48,25 @@ def linearize(coords: jax.Array, grid_dhw: Tuple[int, int, int]) -> jax.Array:
     return jnp.where(ok, key, _INT32_MAX)
 
 
+class BlockSpec(NamedTuple):
+    """One lineage middle-stack block: ``n_subm`` 3x3x3 submanifold convs
+    (``subm_cout`` channels) followed by one strided SparseConv
+    (``down_cout`` channels, arbitrary kernel/stride/pad).  Hashable —
+    safe inside a frozen VoxelNetConfig used as a jit static arg.
+
+    Mirrors one BN+ReLU-interleaved run of
+    ``SubMConv3d*n + SpConv3d`` in the reference middle extractors
+    [ref: second/pytorch/models/middle.py — lineage-expected, UNVERIFIED].
+    """
+
+    n_subm: int
+    subm_cout: int                  # ignored when n_subm == 0
+    down_cout: int
+    kernel: Tuple[int, int, int]    # strided-conv kernel (z, y, x)
+    stride: Tuple[int, int, int]
+    pad: Tuple[int, int, int]
+
+
 class BlockPlan(NamedTuple):
     """Static per-block geometry of a sparse middle stack.
 
@@ -57,37 +76,74 @@ class BlockPlan(NamedTuple):
 
     grid: Tuple[int, int, int]       # input grid (D, H, W)
     out_grid: Tuple[int, int, int]   # grid after the strided conv
-    kernel: Tuple[int, int, int]
+    kernel: Tuple[int, int, int]     # strided-conv kernel
     stride: Tuple[int, int, int]
     pad: Tuple[int, int, int]
     in_cap: int                      # active-site capacity entering the block
     out_cap: int                     # capacity after the strided conv
     n_subm: int                      # submanifold convs before the downsample
-    cout: int
+    cout: int                        # strided-conv output channels
+    subm_cout: int = -1              # submanifold channels (-1 -> == cout)
+    subm_kernel: Tuple[int, int, int] = (3, 3, 3)
+
+    @property
+    def subm_channels(self) -> int:
+        return self.cout if self.subm_cout < 0 else self.subm_cout
+
+
+def _out_grid(grid, pad, kernel, stride):
+    return tuple((g + 2 * p - k) // s + 1 for g, p, k, s in zip(
+        grid, pad, kernel, stride))
+
+
+def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
+                    specs: Tuple[BlockSpec, ...],
+                    capacity_shrink: float = 0.6,
+                    min_capacity: int = 2048) -> Tuple[BlockPlan, ...]:
+    """Explicit per-block specs -> capacity-annotated BlockPlans.
+
+    Capacity after each strided conv shrinks by ``capacity_shrink`` when
+    the conv downsamples in >= 2 axes (active sites merge aggressively);
+    z-only downsamples keep ~0.85 of the sites.  Raises ValueError if the
+    grid is too small for the plan (some output dim would be empty).
+    """
+    blocks = []
+    grid = tuple(int(g) for g in grid_dhw)
+    cap = int(v_cap)
+    for s in specs:
+        og = _out_grid(grid, s.pad, s.kernel, s.stride)
+        if any(g < 1 for g in og):
+            raise ValueError(
+                f"grid {grid} too small for block {s} (out grid {og})")
+        n_ds_axes = sum(1 for st in s.stride if st > 1)
+        shrink = capacity_shrink if n_ds_axes >= 2 else 0.85
+        next_cap = max(int(cap * shrink), min(min_capacity, cap))
+        next_cap = ((next_cap + 127) // 128) * 128
+        blocks.append(BlockPlan(
+            grid=grid, out_grid=og, kernel=tuple(s.kernel),
+            stride=tuple(s.stride), pad=tuple(s.pad), in_cap=cap,
+            out_cap=next_cap, n_subm=int(s.n_subm), cout=int(s.down_cout),
+            subm_cout=int(s.subm_cout), subm_kernel=(3, 3, 3)))
+        grid, cap = og, next_cap
+    return tuple(blocks)
 
 
 def make_plan(grid_dhw: Tuple[int, int, int], v_cap: int,
               num_filters, layers_per_block, z_strides, xy_strides,
               capacity_shrink: float = 0.6,
               min_capacity: int = 2048) -> Tuple[BlockPlan, ...]:
-    """The canonical conv plan for a SparseMiddle stack (see models/middle)."""
-    blocks = []
-    grid = tuple(int(g) for g in grid_dhw)
-    cap = int(v_cap)
-    kernel, pad = (3, 3, 3), (1, 1, 1)
-    for cout, n_subm, zs, xys in zip(num_filters, layers_per_block,
-                                     z_strides, xy_strides):
-        stride = (int(zs), int(xys), int(xys))
-        next_cap = max(int(cap * capacity_shrink), min(min_capacity, cap))
-        next_cap = ((next_cap + 127) // 128) * 128
-        out_grid = tuple((g + 2 * p - k) // s + 1 for g, p, k, s in zip(
-            grid, pad, kernel, stride))
-        blocks.append(BlockPlan(grid=grid, out_grid=out_grid, kernel=kernel,
-                                stride=stride, pad=pad, in_cap=cap,
-                                out_cap=next_cap, n_subm=int(n_subm),
-                                cout=int(cout)))
-        grid, cap = out_grid, next_cap
-    return tuple(blocks)
+    """The legacy-parameterized conv plan for a SparseMiddle stack
+    (uniform 3x3x3 kernels; subm channels == strided channels).  Lineage
+    names go through explicit ``BlockSpec`` plans instead
+    (models/middle_plans.py)."""
+    specs = tuple(
+        BlockSpec(n_subm=int(n), subm_cout=int(c), down_cout=int(c),
+                  kernel=(3, 3, 3), stride=(int(zs), int(xys), int(xys)),
+                  pad=(1, 1, 1))
+        for c, n, zs, xys in zip(num_filters, layers_per_block,
+                                 z_strides, xy_strides))
+    return plan_from_specs(grid_dhw, v_cap, specs, capacity_shrink,
+                           min_capacity)
 
 
 class SubmanifoldRulebook(NamedTuple):

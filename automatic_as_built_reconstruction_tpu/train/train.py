@@ -116,7 +116,8 @@ def _middle_rulebooks(example, cfg):
     _, rb_flat = rulebook_host.split_example(example)
     if not rb_flat:
         return None
-    return rulebook_host.unflatten(rb_flat, len(cfg.middle_num_filters))
+    return rulebook_host.unflatten(rb_flat,
+                                   voxelnet_mod.num_middle_blocks(cfg))
 
 
 def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):

