@@ -96,6 +96,29 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         "unmatched_thresholds": ret["unmatched_thresholds"],
     }
 
+    buckets = (tuple(pp.static_shape_buckets)
+               if training and len(pp.static_shape_buckets) else None)
+    bucket_plans = None
+    if buckets is not None:
+        # the last bucket must be the full voxel capacity, or dense scans
+        # would be silently truncated below max_number_of_voxels
+        cap = int(pp.max_number_of_voxels) or 12000
+        if max(buckets) < cap:
+            print(f"WARNING: static_shape_buckets max {max(buckets)} < "
+                  f"max_number_of_voxels {cap}; appending {cap} so dense "
+                  f"scans keep their full voxel budget")
+            buckets = tuple(sorted(set(buckets) | {cap}))
+        buckets = tuple(sorted(int(b) for b in buckets))
+        if middle_plan is not None:
+            # per-bucket block plans: host rulebooks are built at the
+            # example's own bucket and padded to the batch bucket by the
+            # loader — the sparse path stops paying full capacity per
+            # scan [ref: SURVEY.md §5.7]
+            from ..ops import sparse_conv as sc
+            grid, specs = sc.respec(middle_plan)
+            bucket_plans = {b: sc.plan_from_specs(grid, b, specs)
+                            for b in buckets}
+
     prep_fn = functools.partial(
         prep_pointcloud,
         voxel_generator=voxel_generator,
@@ -105,6 +128,7 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         anchor_cache=anchor_cache,
         db_sampler=db_sampler,
         middle_plan=middle_plan,
+        middle_plan_buckets=bucket_plans,
     )
     prep_ds = PrepDataset(dataset,
                           lambda sd, rng: prep_fn(sd, rng=rng))
@@ -116,7 +140,7 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         seed=seed,
         repeat=training,
         drop_last=training,
-        buckets=(tuple(pp.static_shape_buckets)
-                 if training and len(pp.static_shape_buckets) else None),
+        buckets=buckets,
+        bucket_plans=bucket_plans,
     )
     return prep_ds, loader

@@ -61,13 +61,19 @@ def prep_pointcloud(input_dict: dict,
                     db_sampler=None,
                     rng: Optional[np.random.Generator] = None,
                     feature_map_size: Optional[Sequence[int]] = None,
-                    middle_plan=None) -> Dict[str, np.ndarray]:
+                    middle_plan=None,
+                    middle_plan_buckets=None) -> Dict[str, np.ndarray]:
     """Sensor-data dict -> example dict of fixed-capacity numpy arrays.
 
     ``middle_plan``: optional sparse-middle block plan; when given, the
     spconv-style rulebooks are precomputed here on host (native C++) and
     shipped with the example, removing rulebook construction from the
     device step (``rb*`` keys; see ops.rulebook_host).
+
+    ``middle_plan_buckets``: optional ``{bucket: plan}`` dict (bucketed
+    static shapes, SURVEY.md §5.7) — the rulebooks are then built at the
+    smallest bucket holding this example's voxel count; the batch loader
+    pads them up to the batch bucket (``batching.pad_rulebooks_to_plan``).
     """
     rng = rng or np.random.default_rng()
     points = np.array(input_dict["lidar"]["points"], np.float32, copy=True)
@@ -167,7 +173,13 @@ def prep_pointcloud(input_dict: dict,
         "coordinates": coords.astype(np.int32),
         "num_voxels": np.asarray(nv, np.int32),
     }
-    if middle_plan is not None:
+    if middle_plan_buckets is not None:
+        from ..ops import rulebook_host
+        from . import batching
+        bucket = batching.pick_bucket(nv, sorted(middle_plan_buckets))
+        example.update(rulebook_host.build_middle_rulebooks(
+            coords[:bucket], middle_plan_buckets[bucket]))
+    elif middle_plan is not None:
         from ..ops import rulebook_host
         example.update(rulebook_host.build_middle_rulebooks(
             coords, middle_plan))

@@ -151,6 +151,17 @@ class SparseMiddle(nn.Module):
     # (per-tile HBM->VMEM feature windows + one-hot MXU gathers; see
     # ops/pallas/sparse_gather_gemm.py) instead of the XLA fused gather
     use_pallas_gemm: bool = False
+    # Pallas kernel tiling: rows per output tile and DMA window size;
+    # size the window from real rulebooks with sgg.choose_window —
+    # over-span tiles silently fall back to XLA (check sgg.pallas_fits)
+    pallas_tile: int = 256
+    pallas_window: int = 768
+    # HBM budget for the on-device LUT rulebook builders: each builder
+    # materializes a [D*H*W] int32 table PER EXAMPLE under vmap (~370 MB
+    # at the 41x1600x1408 FHD grid), so batch * cells * 4 bytes of
+    # transient HBM.  Blocks exceeding the budget use the sort-based
+    # builders instead (no table, ~10x slower construction).
+    lut_hbm_budget_bytes: int = 2 << 30
 
     def _conv_params(self, name, k, cin, cout):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
@@ -189,15 +200,22 @@ class SparseMiddle(nn.Module):
                 rb, layout = rulebooks[bi]
             else:
                 # dense-LUT on-device construction (scatter/gather/cumsum
-                # bandwidth, no sorts) — ~10x the sort-based builders
+                # bandwidth, no sorts) — ~10x the sort-based builders,
+                # but each LUT is a [D*H*W] int32 table per example;
+                # over-budget grids fall back to sort+searchsorted
+                lut_bytes = B * int(np.prod(blk.grid)) * 4
+                use_lut = lut_bytes <= self.lut_hbm_budget_bytes
+                subm_builder = (sc.build_submanifold_rulebook_lut if use_lut
+                                else sc.build_submanifold_rulebook)
+                strided_builder = (sc.build_strided_layout_lut if use_lut
+                                   else sc.build_strided_layout)
                 rb = None
                 if blk.n_subm > 0:
                     rb = jax.vmap(functools.partial(
-                        sc.build_submanifold_rulebook_lut,
-                        grid_dhw=blk.grid,
+                        subm_builder, grid_dhw=blk.grid,
                         kernel_size=blk.subm_kernel))(cur_coords, valid)
                 layout = jax.vmap(functools.partial(
-                    sc.build_strided_layout_lut, grid_dhw=blk.grid,
+                    strided_builder, grid_dhw=blk.grid,
                     kernel_size=blk.kernel, stride=blk.stride,
                     padding=blk.pad,
                     max_out=blk.out_cap))(cur_coords, valid)
@@ -211,7 +229,9 @@ class SparseMiddle(nn.Module):
                     # would lower it to a both-branches select
                     wd = w.astype(self.dtype)
                     feats = jax.lax.map(
-                        lambda a: sgg.gather_gemm(a[0], a[1], a[2], wd),
+                        lambda a: sgg.gather_gemm(
+                            a[0], a[1], a[2], wd, None,
+                            self.pallas_tile, self.pallas_window),
                         (feats, rb.gather_idx, rb.found))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
@@ -229,7 +249,9 @@ class SparseMiddle(nn.Module):
             if self.use_pallas_gemm:
                 wd = w.astype(self.dtype)
                 feats = jax.lax.map(
-                    lambda a: sgg.gather_gemm(a[0], a[1], a[2], wd),
+                    lambda a: sgg.gather_gemm(
+                        a[0], a[1], a[2], wd, None,
+                        self.pallas_tile, self.pallas_window),
                     (feats, layout.gather_idx, layout.found))
                 feats = jnp.where(layout.out_valid[..., None], feats,
                                   0.0).astype(self.dtype)

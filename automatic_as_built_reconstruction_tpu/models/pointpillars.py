@@ -38,6 +38,11 @@ class PillarFeatureNet(nn.Module):
     layers, max-pool to one feature per pillar.
 
     Decorations (paper): [x, y, z, r, xc, yc, zc, xp, yp] (+ |p| optional).
+    ``radius=True`` is the PillarFeatureNetRadius variant: the absolute
+    (x, y) channels are folded into the rotation-invariant BEV radius
+    sqrt(x^2 + y^2), everything else unchanged
+    [ref: second/pytorch/models/pointpillars.py::PillarFeatureNetRadius —
+    lineage-expected, UNVERIFIED].
     """
 
     num_input_features: int = 4
@@ -45,6 +50,7 @@ class PillarFeatureNet(nn.Module):
     with_distance: bool = False
     voxel_size: Tuple[float, float] = (0.2, 0.2)
     pc_range: Tuple[float, float] = (0.0, -40.0)  # (x0, y0)
+    radius: bool = False
     dtype: type = jnp.float32
 
     @nn.compact
@@ -64,7 +70,11 @@ class PillarFeatureNet(nn.Module):
             [voxels[..., 0] - px[..., None], voxels[..., 1] - py[..., None]],
             axis=-1)
 
-        features = [voxels[..., : self.num_input_features], f_cluster, f_center]
+        raw = voxels[..., : self.num_input_features]
+        if self.radius:
+            r_bev = jnp.linalg.norm(raw[..., :2], axis=-1, keepdims=True)
+            raw = jnp.concatenate([r_bev, raw[..., 2:]], axis=-1)
+        features = [raw, f_cluster, f_center]
         if self.with_distance:
             features.append(
                 jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True))

@@ -107,3 +107,40 @@ class VoxelFeatureExtractor(nn.Module):
         x = jnp.max(x, axis=2)  # [B, V, F]
         # fully-empty voxels (padding) -> 0
         return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+class VoxelFeatureExtractorV2(nn.Module):
+    """Arbitrary-depth VFE stack whose LAST layer max-pools directly —
+    no trailing FC+BN, unlike :class:`VoxelFeatureExtractor`.
+
+    [ref: second/pytorch/models/voxel_encoder.py::VoxelFeatureExtractorV2
+    — lineage-expected, UNVERIFIED]
+    """
+
+    num_input_features: int = 4
+    num_filters: Sequence[int] = (32, 128)
+    with_distance: bool = False
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords=None, *, train: bool = False):
+        B, V, T, C = voxels.shape
+        mask = points_mask(num_points, T, voxels.dtype)
+        denom = jnp.maximum(num_points[..., None, None], 1).astype(voxels.dtype)
+        points_mean = (voxels[..., :3] * mask).sum(2, keepdims=True) / denom
+        features = [voxels, voxels[..., :3] - points_mean * mask]
+        if self.with_distance:
+            features.append(
+                jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True))
+        x = jnp.concatenate(features, axis=-1) * mask
+        for nf in self.num_filters[:-1]:
+            x = VFELayer(nf)(x, mask, train=train)
+            x = x * mask
+        # final layer: FC half-width + BN + ReLU, then pool (no concat)
+        units = self.num_filters[-1]
+        x = nn.Dense(units, use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(x)
+        x = nn.relu(x)
+        x = jnp.where(mask > 0, x, -jnp.inf)
+        x = jnp.max(x, axis=2)
+        return jnp.where(jnp.isfinite(x), x, 0.0)

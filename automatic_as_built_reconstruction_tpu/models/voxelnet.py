@@ -27,15 +27,16 @@ from .middle import DenseMiddle, SparseMiddle
 from .pointpillars import PillarFeatureNet, PointPillarsScatter
 from .rpn import RPN
 from .voxel_encoder import (SimpleVoxel, SimpleVoxelRadius,
-                            VoxelFeatureExtractor)
+                            VoxelFeatureExtractor, VoxelFeatureExtractorV2)
 
 VFE_REGISTRY = {
     "SimpleVoxel": SimpleVoxel,
     "SimpleVoxelRadius": SimpleVoxelRadius,
     "VoxelFeatureExtractor": VoxelFeatureExtractor,
-    "VoxelFeatureExtractorV2": VoxelFeatureExtractor,  # lineage alias
+    "VoxelFeatureExtractorV2": VoxelFeatureExtractorV2,
     "PillarFeatureNet": PillarFeatureNet,
-    "PillarFeatureNetRadius": PillarFeatureNet,        # lineage alias
+    # PillarFeatureNet with the absolute BEV position folded to a radius
+    "PillarFeatureNetRadius": PillarFeatureNet,
 }
 
 # every lineage SpMiddle* spelling builds the TPU sparse stack; the exact
@@ -139,6 +140,9 @@ class VoxelNetConfig:
                                           # Pallas one-hot-matmul scatter
     sparse_use_pallas_gemm: bool = False  # sparse middle gather-GEMM via
                                           # ops/pallas/sparse_gather_gemm
+    sparse_pallas_tile: int = 256         # Pallas kernel rows per tile
+    sparse_pallas_window: int = 768       # Pallas DMA window (see
+                                          # sgg.choose_window)
     # post-processing
     post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
@@ -177,10 +181,11 @@ class VoxelNet(nn.Module):
                           with_distance=cfg.with_distance,
                           voxel_size=cfg.voxel_size[:2],
                           pc_range=cfg.pc_range[:2],
+                          radius=cfg.vfe_name.endswith("Radius"),
                           dtype=(jnp.bfloat16
                                  if cfg.compute_dtype == "bfloat16"
                                  else jnp.float32))
-        elif vfe_cls is VoxelFeatureExtractor:
+        elif vfe_cls in (VoxelFeatureExtractor, VoxelFeatureExtractorV2):
             vfe = vfe_cls(num_input_features=cfg.num_input_features,
                           num_filters=cfg.vfe_num_filters,
                           with_distance=cfg.with_distance)
@@ -203,6 +208,8 @@ class VoxelNet(nn.Module):
                                    if cfg.compute_dtype == "bfloat16"
                                    else jnp.float32)
                 kwargs["use_pallas_gemm"] = cfg.sparse_use_pallas_gemm
+                kwargs["pallas_tile"] = cfg.sparse_pallas_tile
+                kwargs["pallas_window"] = cfg.sparse_pallas_window
                 kwargs["blocks"] = cfg.middle_blocks
                 grid_dhw = (grid_dhw[0] + cfg.middle_zpad, grid_dhw[1],
                             grid_dhw[2])

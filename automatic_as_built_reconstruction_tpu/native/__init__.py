@@ -102,7 +102,15 @@ def voxelize_sorted_mean(points, voxel_size, coors_range, max_points: int,
     """Fused FCFS voxelization + capped per-voxel mean, key-sorted output
     (the SECOND/SimpleVoxel input stage in one native pass; monotone
     rulebooks downstream).  Returns (means [V, C] zero-padded,
-    coords [V, 3] zyx with -1 padding, counts [V], num_voxels)."""
+    coords [V, 3] zyx with -1 padding, counts [V], num_voxels).
+
+    Overflow caveat: when the scan has more than ``max_voxels`` occupied
+    cells, this kernel keeps the FIRST-APPEARANCE voxels (FCFS over the
+    input point order) and then key-sorts them, while the device twin
+    ``ops.voxelize_jax.voxelize(first_appearance=False)`` keeps the
+    smallest-key voxels — the two select different voxel subsets exactly
+    on overflow scans.  Bit parity with the device path holds only while
+    the occupied-cell count fits ``max_voxels``."""
     lib = _load()
     points = np.ascontiguousarray(points, np.float32)
     P, C = points.shape

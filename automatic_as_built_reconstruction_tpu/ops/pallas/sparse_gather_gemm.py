@@ -186,11 +186,15 @@ def choose_window(rulebooks, n_rows: int, tile: int = 256,
     clamp), bounded by ``max_window`` and by what the double-buffered
     [2, Cin, W] VMEM scratch allows within ``vmem_budget_bytes``.
 
-    ``rulebooks``: iterable of (gather_idx, found) sampled from real
-    scans.  Returns the bound itself if nothing smaller fits (callers
+    ``rulebooks``: iterable of (gather_idx, found) or
+    (gather_idx, found, n_rows_override) sampled from real scans — the
+    override carries the feature-table row count when it differs from
+    ``n_rows`` (e.g. strided books index the previous block's larger
+    table).  Returns the bound itself if nothing smaller fits (callers
     should then expect XLA fallbacks — check ``pallas_fits``)."""
-    stats = [_tile_min_max(np.asarray(gi), np.asarray(fo), n_rows, tile)
-             for gi, fo in rulebooks]
+    stats = [_tile_min_max(np.asarray(b[0]), np.asarray(b[1]),
+                           b[2] if len(b) > 2 else n_rows, tile)
+             for b in rulebooks]
     vmem_cap = vmem_budget_bytes // (2 * cin * bytes_per_el) // 128 * 128
     bound = int(min(max_window, max(vmem_cap, 128)))
     for w in range(128, bound + 1, 128):

@@ -128,6 +128,19 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
     return tuple(blocks)
 
 
+def respec(plan: Tuple[BlockPlan, ...]) -> Tuple[Tuple[int, int, int],
+                                                 Tuple[BlockSpec, ...]]:
+    """Recover (input grid, BlockSpecs) from a capacity-annotated plan —
+    lets callers re-plan the same stack at a different voxel capacity
+    (bucketed shapes: ``plan_from_specs(grid, bucket, specs)``)."""
+    grid = plan[0].grid
+    specs = tuple(
+        BlockSpec(n_subm=b.n_subm, subm_cout=b.subm_cout, down_cout=b.cout,
+                  kernel=b.kernel, stride=b.stride, pad=b.pad)
+        for b in plan)
+    return grid, specs
+
+
 def make_plan(grid_dhw: Tuple[int, int, int], v_cap: int,
               num_filters, layers_per_block, z_strides, xy_strides,
               capacity_shrink: float = 0.6,

@@ -43,7 +43,7 @@ class BatchLoader:
     def __init__(self, prep_dataset: PrepDataset, batch_size: int,
                  shuffle: bool, num_workers: int = 2, seed: int = 0,
                  prefetch: int = 4, drop_last: bool = True,
-                 repeat: bool = True, buckets=None):
+                 repeat: bool = True, buckets=None, bucket_plans=None):
         self._ds = prep_dataset
         self._batch_size = batch_size
         self._shuffle = shuffle
@@ -58,16 +58,27 @@ class BatchLoader:
         # without reordering the stream [ref: SURVEY.md §5.7]
         self._buckets = tuple(sorted(int(b) for b in buckets)) \
             if buckets else None
+        # {bucket: block plan} for sparse-middle examples whose host
+        # rulebooks were precomputed at their own bucket (preprocess) —
+        # _emit pads them up to the batch bucket's plan shapes
+        self._bucket_plans = bucket_plans
 
     def _emit(self, q, batch):
         """Merge one batch, applying bucketed shrinking when enabled.
 
-        Host-rulebook examples (``rb*``) stay at full capacity — their
-        table shapes are tied to the full-capacity block plan."""
-        if self._buckets and "rb0_subm_idx" not in batch[0]:
+        Host-rulebook examples (``rb*``) are padded from their own
+        bucket's rulebook shapes up to the batch bucket's plan
+        (``pad_rulebooks_to_plan``) when ``bucket_plans`` is set;
+        without per-bucket plans they stay at full capacity."""
+        has_rb = "rb0_subm_idx" in batch[0]
+        if self._buckets and (not has_rb or self._bucket_plans):
             bucket = batching.pick_bucket(
                 max(int(e["num_voxels"]) for e in batch), self._buckets)
             batch = [batching.shrink_to_bucket(e, bucket) for e in batch]
+            if has_rb:
+                plan = self._bucket_plans[bucket]
+                batch = [batching.pad_rulebooks_to_plan(e, plan)
+                         for e in batch]
         q.put(batching.merge_batch(batch))
 
     def _index_stream(self) -> Iterator[tuple]:

@@ -294,3 +294,95 @@ class TestSparsePallasTrainRuntime:
         assert int(state["step"]) == 2
         result = train_mod.evaluate(pallas_cfg_path, model_dir)
         assert np.isfinite(result["mAP.bev"])
+
+
+class TestBucketedSparse:
+    """static_shape_buckets on the SECOND path: host rulebooks built at
+    the example's bucket, padded to the batch bucket (VERDICT r2 item 7)."""
+
+    @pytest.fixture(scope="class")
+    def bucket_cfg_path(self, tmp_path_factory):
+        cfg = SPARSE_MICRO_CONFIG.replace(
+            "anchor_area_threshold: -1.0",
+            "anchor_area_threshold: -1.0\n"
+            "    static_shape_buckets: [64, 128, 256]", 1
+        ).replace("batch_size: 1", "batch_size: 2", 1)
+        p = tmp_path_factory.mktemp("cfg") / "micro_sparse_bucket.config"
+        p.write_text(cfg)
+        return p
+
+    def test_batches_arrive_bucketed(self, bucket_cfg_path):
+        bundle = train_mod.Bundle(bucket_cfg_path)
+        _, loader = bundle.input_reader(training=True)
+        batch = next(iter(loader))
+        V = batch["voxels"].shape[1]
+        assert V in (64, 128, 256)
+        # rulebook shapes must match the bucket's plan, not full capacity
+        from automatic_as_built_reconstruction_tpu.ops import (
+            sparse_conv as sc)
+        from automatic_as_built_reconstruction_tpu.models import (
+            voxelnet as voxelnet_mod)
+        grid, specs = sc.respec(
+            voxelnet_mod.middle_plan(bundle.model_cfg, 256))
+        plan_b = sc.plan_from_specs(grid, V, specs)
+        assert batch["rb0_subm_idx"].shape[-1] == plan_b[0].in_cap
+        assert batch["rb0_out_coords"].shape[-2] == plan_b[0].out_cap
+
+    def test_bucketed_forward_matches_full_capacity(self, bucket_cfg_path):
+        """Same scan at bucket capacity vs full capacity -> identical
+        RPN maps (padding is semantically neutral end to end)."""
+        import jax as _jax
+        from automatic_as_built_reconstruction_tpu.data import batching
+        from automatic_as_built_reconstruction_tpu.models import (
+            voxelnet as voxelnet_mod)
+        from automatic_as_built_reconstruction_tpu.ops import (
+            rulebook_host as rbh, sparse_conv as sc)
+
+        bundle = train_mod.Bundle(bucket_cfg_path)
+        full_plan = voxelnet_mod.middle_plan(bundle.model_cfg, 256)
+        prep_ds, _ = bundle.input_reader(training=True)
+        # pick the sparsest of a few scenes so a sub-capacity bucket
+        # is actually exercised
+        exs = [prep_ds.example(i, seed=11 + i) for i in range(4)]
+        ex = min(exs, key=lambda e: int(e["num_voxels"]))
+        nv = int(ex["num_voxels"])
+        buckets = tuple(range(64, 257, 64))
+        # full-capacity rulebooks for the reference forward
+        ex_full = dict(ex)
+        ex_full.update(rbh.build_middle_rulebooks(
+            ex["coordinates"], full_plan))
+        # bucketed twin at the smallest bucket holding nv
+        bucket = batching.pick_bucket(nv, buckets)
+        assert bucket < 256 or nv > 192, "no sub-capacity bucket hit"
+
+        grid, specs = sc.respec(full_plan)
+        plan_b = sc.plan_from_specs(grid, bucket, specs)
+        ex_b = batching.shrink_to_bucket(dict(ex), bucket)
+        ex_b.update(rbh.build_middle_rulebooks(
+            ex_b["coordinates"], plan_b))
+        ex_b = batching.pad_rulebooks_to_plan(ex_b, plan_b)
+
+        model = bundle.model
+        variables = model.init(
+            _jax.random.key(0), ex_full["voxels"][None],
+            ex_full["num_points"][None], ex_full["coordinates"][None])
+
+        def fwd(e, plan):
+            books = rbh.unflatten(
+                {k: v[None] for k, v in e.items()
+                 if k.startswith("rb")}, len(plan))
+            return model.apply(variables, e["voxels"][None],
+                               e["num_points"][None],
+                               e["coordinates"][None],
+                               middle_rulebooks=books)
+        p_full = fwd(ex_full, full_plan)
+        p_b = fwd(ex_b, plan_b)
+        for k in p_full:
+            np.testing.assert_allclose(np.asarray(p_full[k]),
+                                       np.asarray(p_b[k]),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_bucketed_training_runs(self, bucket_cfg_path, tmp_path):
+        state = train_mod.train(bucket_cfg_path, tmp_path / "bkt",
+                                max_steps=2, display_step=1)
+        assert int(state["step"]) == 2
