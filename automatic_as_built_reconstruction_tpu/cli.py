@@ -56,11 +56,17 @@ def main(argv=None):
 
     p_bprep = sub.add_parser("building_data_prep",
                              help="generate synthetic building scans + infos"
-                                  " + gt database")
+                                  " + gt database, or ingest real scans via"
+                                  " --scan_dir (ply/pcd/bin/npz + JSON"
+                                  " box sidecars)")
     p_bprep.add_argument("--root_path", required=True)
     p_bprep.add_argument("--num_scenes", type=int, default=128)
     p_bprep.add_argument("--num_val", type=int, default=32)
     p_bprep.add_argument("--seed", type=int, default=0)
+    p_bprep.add_argument("--scan_dir", default=None,
+                         help="directory of real scans to ingest instead "
+                              "of generating synthetic scenes")
+    p_bprep.add_argument("--val_fraction", type=float, default=0.2)
 
     p_view = sub.add_parser("viewer", help="serve the web viewer")
     p_view.add_argument("--config_path", required=True)
@@ -94,9 +100,14 @@ def main(argv=None):
                 if isinstance(v, (int, float)):
                     print(f"{k}: {v:.4f}")
     elif args.command == "building_data_prep":
-        from .data.create_data import building_data_prep
-        building_data_prep(args.root_path, num_scenes=args.num_scenes,
-                           num_val=args.num_val, seed=args.seed)
+        if args.scan_dir:
+            from .data.create_data import building_data_prep_from_scans
+            building_data_prep_from_scans(args.scan_dir, args.root_path,
+                                          val_fraction=args.val_fraction)
+        else:
+            from .data.create_data import building_data_prep
+            building_data_prep(args.root_path, num_scenes=args.num_scenes,
+                               num_val=args.num_val, seed=args.seed)
     elif args.command == "kitti_data_prep":
         from .data.create_data import kitti_data_prep
         kitti_data_prep(args.root_path)

@@ -52,6 +52,56 @@ def building_data_prep(root_path, num_scenes: int = 128, num_val: int = 32,
           f"written to {root}")
 
 
+def building_data_prep_from_scans(scan_dir, root_path,
+                                  val_fraction: float = 0.2) -> None:
+    """Ingest REAL scans (.ply / .pcd / .bin / .npz) with JSON box
+    annotations into the building-dataset layout.
+
+    ``scan_dir`` holds scan files plus same-stem ``.json`` sidecars
+    (``{"boxes": [[x,y,z,w,l,h,yaw], ...], "names": [...]}``); output is
+    the same scenes/ + infos-pkl + gt-database layout the synthetic prep
+    writes, so ``BuildingDataset`` trains from it unchanged.
+    [ref: SURVEY.md §2.9 mesh/scan -> points tools]
+    """
+    from . import scan_io
+
+    scan_dir = pathlib.Path(scan_dir)
+    root = pathlib.Path(root_path)
+    (root / "scenes").mkdir(parents=True, exist_ok=True)
+    scans = sorted(p for p in scan_dir.iterdir()
+                   if p.suffix.lower() in (".ply", ".pcd", ".bin", ".npz"))
+    if not scans:
+        raise FileNotFoundError(f"no scans under {scan_dir}")
+
+    infos = []
+    for i, scan_path in enumerate(scans):
+        points = scan_io.read_scan(scan_path)
+        anno_path = scan_path.with_suffix(".json")
+        if anno_path.exists():
+            boxes, names = scan_io.read_annotations(anno_path)
+        else:
+            boxes = np.zeros((0, 7), np.float32)
+            names = np.asarray([], dtype=str)
+        rel = f"scenes/scene_{i:06d}.npz"
+        np.savez_compressed(root / rel, points=points)
+        infos.append({"scene_id": i, "path": rel, "source": scan_path.name,
+                      "gt_boxes": boxes, "gt_names": names})
+
+    n_val = max(int(round(len(infos) * val_fraction)), 1) \
+        if len(infos) > 1 else 0
+    train_infos = infos[: len(infos) - n_val]
+    val_infos = infos[len(infos) - n_val:]
+    with open(root / "building_infos_train.pkl", "wb") as f:
+        pickle.dump(train_infos, f)
+    with open(root / "building_infos_val.pkl", "wb") as f:
+        pickle.dump(val_infos, f)
+    create_groundtruth_database_from_infos(
+        root, train_infos, "building_dbinfos_train.pkl",
+        points_loader=lambda info: np.load(root / info["path"])["points"])
+    print(f"building data (real scans): {len(train_infos)} train + "
+          f"{len(val_infos)} val scenes from {scan_dir} -> {root}")
+
+
 def create_groundtruth_database_from_infos(root, infos, db_info_name,
                                            points_loader) -> None:
     """Crop per-object points (box-relative) + db info pkl."""

@@ -48,7 +48,10 @@ def rotate_nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     valid = top_scores > -jnp.inf
-    iou = rotated_iou.rotate_iou_matrix(top_boxes, top_boxes)
+    # row-blocked IoU: at pre_max_size=1000 the full pair set's clip
+    # temporaries would dominate HBM; blocks keep the peak at
+    # [row_block, K] while the stored matrix stays [K, K] f32
+    iou = rotated_iou.rotate_iou_matrix_blocked(top_boxes, top_boxes)
     keep = _greedy_suppress(iou, valid, iou_threshold)
     # compact kept indices (score order) into post_max_size slots
     kpos = jnp.cumsum(keep) - 1

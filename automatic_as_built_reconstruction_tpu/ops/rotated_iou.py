@@ -2,9 +2,17 @@
 
 TPU-first re-expression of the lineage's numba-CUDA polygon kernels
 [ref: second/core/non_max_suppression/nms_gpu.py::devRotateIoU — UNVERIFIED]:
-fixed 8-vertex buffers with validity masks instead of dynamic vertex lists;
-every lane fully vectorized, `vmap`-ed over box pairs.  Parity-tested against
-the independent vertex-enumeration oracle in ``core.geometry``.
+fixed 8-vertex buffers with validity masks instead of dynamic vertex lists.
+
+Layout matters on TPU: the clip runs in **structure-of-arrays** form —
+vertex slots lead, the (N, K) pair axes stay MINOR so XLA's (8, 128)
+tiling lands on the large axes.  (The naive per-pair vmap puts the tiny
+vertex/xy axes minor, and every [N, K, 8, 2, 2] temporary pads 16x —
+15 GB of padding at N=K=1000.)  Slot compaction after each half-plane
+clip is a 16-slot stable sort (emitted-first) instead of a scatter.
+
+Parity-tested against the independent vertex-enumeration oracle in
+``core.geometry``.
 """
 from __future__ import annotations
 
@@ -12,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # CCW unit-square corners: (-,-), (+,-), (+,+), (-,+)
 _CCW_CORNERS = jnp.array(
@@ -29,54 +38,78 @@ def box_to_corners_ccw(boxes: jax.Array) -> jax.Array:
     return jnp.stack([x, y], axis=-1) + boxes[..., None, :2]
 
 
-def _clip_halfplane(poly, n, a, b):
-    """Clip masked polygon (poly [8,2], n valid) by half-plane left of a->b."""
-    idx = jnp.arange(8)
-    active = idx < n
-    nxt_idx = jnp.where(idx + 1 < n, idx + 1, 0)
-    cur = poly
-    nxt = poly[nxt_idx]
-    ex, ey = b[0] - a[0], b[1] - a[1]
-    s_cur = ex * (cur[:, 1] - a[1]) - ey * (cur[:, 0] - a[0])
-    s_nxt = ex * (nxt[:, 1] - a[1]) - ey * (nxt[:, 0] - a[0])
+def _take0(a, idx):
+    return jnp.take_along_axis(a, idx, axis=0)
+
+
+def _clip_halfplane_soa(px, py, n, ax, ay, bx, by):
+    """Clip masked polygons by the half-plane left of a->b, SoA form.
+
+    px/py: [8, *batch] vertex slots; n: [*batch] valid counts;
+    ax/ay/bx/by: [*batch]-broadcastable edge endpoints.
+    Returns (px', py', n') with at most 8 valid slots (quad-quad clips
+    never exceed 8 vertices).
+    """
+    rest = px.shape[1:]
+    idx8 = jnp.arange(8).reshape((8,) + (1,) * len(rest))
+    active = idx8 < n
+    nxt = jnp.where(idx8 + 1 < n, idx8 + 1, 0)
+    nxt_x, nxt_y = _take0(px, nxt), _take0(py, nxt)
+    ex, ey = bx - ax, by - ay
+    s_cur = ex * (py - ay) - ey * (px - ax)
+    s_nxt = ex * (nxt_y - ay) - ey * (nxt_x - ax)
     cur_in = s_cur >= 0
     nxt_in = s_nxt >= 0
     emit_cur = active & cur_in
     crossing = active & (cur_in != nxt_in)
     denom = s_cur - s_nxt
     t = jnp.where(jnp.abs(denom) > 1e-12, s_cur / denom, 0.0)
-    inter = cur + t[:, None] * (nxt - cur)
-    # interleave (cur_i, inter_i) and compact
-    cand = jnp.stack([cur, inter], axis=1).reshape(16, 2)
-    emit = jnp.stack([emit_cur, crossing], axis=1).reshape(16)
-    pos = jnp.cumsum(emit) - 1
-    out = jnp.zeros((8, 2), poly.dtype)
-    out = out.at[jnp.where(emit, pos, 8)].set(
-        jnp.where(emit[:, None], cand, 0.0), mode="drop")
-    return out, jnp.sum(emit).astype(jnp.int32)
+    ix = px + t * (nxt_x - px)
+    iy = py + t * (nxt_y - py)
+    # interleave (cur_0, inter_0, cur_1, inter_1, ...) -> 16 slots
+    cand_x = jnp.stack([px, ix], axis=1).reshape((16,) + rest)
+    cand_y = jnp.stack([py, iy], axis=1).reshape((16,) + rest)
+    emit = jnp.stack([emit_cur, crossing], axis=1).reshape((16,) + rest)
+    # compact: stable sort by (not emitted, slot) moves emitted slots to
+    # the front in original (cyclic) order — no scatter
+    slot = jnp.arange(16).reshape((16,) + (1,) * len(rest))
+    key = jnp.where(emit, slot, 16 + slot).astype(jnp.int32)
+    key = jnp.broadcast_to(key, (16,) + rest)
+    _, sx, sy = lax.sort((key, cand_x, cand_y), dimension=0, num_keys=1)
+    return sx[:8], sy[:8], jnp.sum(emit, axis=0).astype(jnp.int32)
 
 
-def _pair_intersection_area(ca, cb):
-    """Intersection area of two CCW quads [4,2] (fixed-buffer clip)."""
-    poly = jnp.zeros((8, 2), ca.dtype).at[:4].set(ca)
-    n = jnp.int32(4)
-    for k in range(4):
-        poly, n = _clip_halfplane(poly, n, cb[k], cb[(k + 1) % 4])
-    idx = jnp.arange(8)
-    nxt_idx = jnp.where(idx + 1 < n, idx + 1, 0)
-    x, y = poly[:, 0], poly[:, 1]
-    cross = x * y[nxt_idx] - x[nxt_idx] * y
-    area = 0.5 * jnp.sum(jnp.where(idx < n, cross, 0.0))
+def _shoelace_soa(px, py, n):
+    rest = px.shape[1:]
+    idx8 = jnp.arange(8).reshape((8,) + (1,) * len(rest))
+    nxt = jnp.where(idx8 + 1 < n, idx8 + 1, 0)
+    cross = px * _take0(py, nxt) - _take0(px, nxt) * py
+    area = 0.5 * jnp.sum(jnp.where(idx8 < n, cross, 0.0), axis=0)
     return jnp.maximum(area, 0.0)
 
 
 @jax.jit
 def intersection_area_matrix(boxes: jax.Array, qboxes: jax.Array) -> jax.Array:
     """Pairwise rotated intersection areas: [N,5] x [K,5] -> [N,K]."""
-    ca = box_to_corners_ccw(boxes)
-    cb = box_to_corners_ccw(qboxes)
-    f = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
-    return f(ca, cb)
+    N, K = boxes.shape[0], qboxes.shape[0]
+    ca = box_to_corners_ccw(boxes)      # [N, 4, 2]
+    cb = box_to_corners_ccw(qboxes)     # [K, 4, 2]
+    # polygon buffers [8, N, K]: subject polygon = box A corners
+    ax0 = jnp.transpose(ca[..., 0])     # [4, N]
+    ay0 = jnp.transpose(ca[..., 1])
+    zeros = jnp.zeros((4, N, K), ca.dtype)
+    px = jnp.concatenate([jnp.broadcast_to(ax0[:, :, None], (4, N, K)),
+                          zeros], axis=0)
+    py = jnp.concatenate([jnp.broadcast_to(ay0[:, :, None], (4, N, K)),
+                          zeros], axis=0)
+    n = jnp.full((N, K), 4, jnp.int32)
+    for k in range(4):
+        a = cb[:, k]                    # [K, 2]
+        b = cb[:, (k + 1) % 4]
+        px, py, n = _clip_halfplane_soa(
+            px, py, n,
+            a[None, :, 0], a[None, :, 1], b[None, :, 0], b[None, :, 1])
+    return _shoelace_soa(px, py, n)
 
 
 @functools.partial(jax.jit, static_argnames=("criterion",))
@@ -93,6 +126,25 @@ def rotate_iou_matrix(boxes: jax.Array, qboxes: jax.Array,
     else:
         denom = jnp.broadcast_to(area_b, inter.shape)
     return jnp.where(denom > 0, inter / jnp.maximum(denom, 1e-12), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("criterion", "row_block"))
+def rotate_iou_matrix_blocked(boxes: jax.Array, qboxes: jax.Array,
+                              criterion: int = -1,
+                              row_block: int = 128) -> jax.Array:
+    """Row-blocked twin of :func:`rotate_iou_matrix` — peak memory is
+    one [row_block, K] clip instead of the full [N, K] pair set (the
+    NMS path at pre_max_size=1000 needs this to stay off HBM limits)."""
+    N = boxes.shape[0]
+    if N <= row_block:
+        return rotate_iou_matrix(boxes, qboxes, criterion)
+    nb = -(-N // row_block)
+    pad = nb * row_block - N
+    rows = jnp.pad(boxes, ((0, pad), (0, 0))).reshape(
+        nb, row_block, boxes.shape[1])
+    blocks = lax.map(
+        lambda rb: rotate_iou_matrix(rb, qboxes, criterion), rows)
+    return blocks.reshape(nb * row_block, -1)[:N]
 
 
 @jax.jit

@@ -233,3 +233,17 @@ class TestVoxelizeFastPath:
         assert int(res.num_voxels) == 0
         np.testing.assert_array_equal(np.asarray(res.coords), -1)
         np.testing.assert_array_equal(np.asarray(res.voxels), 0)
+
+
+class TestBlockedRotateIoU:
+    def test_blocked_matches_unblocked(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(12)
+        a = np.stack([rng.uniform(0, 40, 300), rng.uniform(-20, 20, 300),
+                      rng.uniform(0.5, 4, 300), rng.uniform(0.5, 4, 300),
+                      rng.uniform(-np.pi, np.pi, 300)], 1).astype(np.float32)
+        full = np.asarray(rotated_iou.rotate_iou_matrix(
+            jnp.asarray(a), jnp.asarray(a)))
+        blocked = np.asarray(rotated_iou.rotate_iou_matrix_blocked(
+            jnp.asarray(a), jnp.asarray(a), row_block=64))
+        np.testing.assert_allclose(blocked, full, atol=1e-5, rtol=1e-5)
