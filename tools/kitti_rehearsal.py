@@ -1,0 +1,117 @@
+"""Full-scale synthetic-KITTI dress rehearsal (VERDICT r2 item 5).
+
+Trains `car.fhd` — the REAL 1408x1600x40 grid, SpMiddleFHD lineage plan,
+gt-database sampling, one-cycle schedule — on the synthetic KITTI clone
+from tools/make_synth_kitti.py, then evaluates through the official
+devkit-protocol AP code path.  The closest possible stand-in for the
+north-star real-KITTI parity claim in a container with no KITTI data.
+
+Runs training in CHUNKED subprocesses (the TPU relay leaks host RSS per
+dispatched step; a fresh process per chunk resumes from the orbax
+checkpoint — see .claude/skills/verify).
+
+Usage:
+  python tools/make_synth_kitti.py --root /tmp/synth_kitti --num_train 400 --num_val 100
+  python tools/kitti_rehearsal.py --data_root /tmp/synth_kitti \
+      --model_dir /tmp/kitti_fhd_run --steps 4000 [--chunk 500]
+      [--batch_size 3] [--eval_only]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def make_config(data_root: str, steps: int, batch_size: int,
+                lr_max: float) -> str:
+    from automatic_as_built_reconstruction_tpu import builder
+
+    cfg = builder.load_config(
+        REPO / "automatic_as_built_reconstruction_tpu" / "configs"
+        / "second" / "car" / "car.fhd.config")
+    for reader, info in ((cfg.train_input_reader, "kitti_infos_train.pkl"),
+                         (cfg.eval_input_reader, "kitti_infos_val.pkl")):
+        reader.dataset.kitti_root_path = data_root
+        reader.dataset.kitti_info_path = f"{data_root}/{info}"
+        reader.batch_size = batch_size
+        reader.num_workers = 2
+    pp = cfg.train_input_reader.preprocess
+    pp.database_sampler.database_info_path = \
+        f"{data_root}/kitti_dbinfos_train.pkl"
+    # bucketed sparse shapes: synthetic scans mostly land well under the
+    # 17k voxel cap
+    del pp.static_shape_buckets[:]
+    pp.static_shape_buckets.extend([8192, 12288, 17000])
+    cfg.eval_input_reader.preprocess.max_number_of_voxels = 20000
+    tc = cfg.train_config
+    tc.steps = steps
+    tc.steps_per_eval = steps + 1          # no in-loop eval (chunked)
+    tc.save_checkpoints_secs = 120
+    opt = tc.optimizer.adam_optimizer
+    opt.learning_rate.one_cycle.lr_max = lr_max
+    return str(cfg)
+
+
+def run_chunk(cfg_path, model_dir, upto: int, batch: int) -> int:
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from automatic_as_built_reconstruction_tpu.train import train as t\n"
+        "state = t.train(%r, %r, max_steps=%d, display_step=25)\n"
+        "print('chunk done at step', int(state['step']))\n"
+        % (str(REPO), str(cfg_path), str(model_dir), upto))
+    return subprocess.call([sys.executable, "-c", code])
+
+
+def run_eval(cfg_path, model_dir) -> int:
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from automatic_as_built_reconstruction_tpu.train import train as t\n"
+        "r = t.evaluate(%r, %r)\n"
+        "print(r.get('result_str', r))\n"
+        % (str(REPO), str(cfg_path), str(model_dir)))
+    return subprocess.call([sys.executable, "-c", code])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--chunk", type=int, default=500)
+    ap.add_argument("--batch_size", type=int, default=3)
+    ap.add_argument("--lr_max", type=float, default=0.0015)
+    ap.add_argument("--eval_only", action="store_true")
+    args = ap.parse_args()
+
+    model_dir = pathlib.Path(args.model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    cfg_path = model_dir / "rehearsal.config"
+    if not cfg_path.exists() or not args.eval_only:
+        cfg_path.write_text(make_config(args.data_root, args.steps,
+                                        args.batch_size, args.lr_max))
+        print(f"config -> {cfg_path}")
+
+    if not args.eval_only:
+        upto = args.chunk
+        while upto < args.steps + args.chunk:
+            target = min(upto, args.steps)
+            print(f"=== chunk to step {target} ===", flush=True)
+            rc = run_chunk(cfg_path, model_dir, target, args.batch_size)
+            if rc != 0:
+                print(f"chunk exited rc={rc}; stopping")
+                return rc
+            if target == args.steps:
+                break
+            upto += args.chunk
+
+    print("=== evaluate ===", flush=True)
+    return run_eval(cfg_path, model_dir)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
