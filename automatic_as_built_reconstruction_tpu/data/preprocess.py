@@ -151,9 +151,10 @@ def prep_pointcloud(input_dict: dict,
     voxels_r, coords_r, num_points_r = voxel_generator.generate(
         points, prep_cfg.max_voxels)
     if prep_cfg.sort_voxels_by_key and len(coords_r):
+        # depth-minor key (y, x, z) — matches ops.sparse_conv.linearize
         gsz = voxel_generator.grid_size          # (gx, gy, gz)
-        keys = ((coords_r[:, 0].astype(np.int64) * int(gsz[1])
-                 + coords_r[:, 1]) * int(gsz[0]) + coords_r[:, 2])
+        keys = ((coords_r[:, 1].astype(np.int64) * int(gsz[0])
+                 + coords_r[:, 2]) * int(gsz[2]) + coords_r[:, 0])
         order = np.argsort(keys, kind="stable")
         voxels_r, coords_r, num_points_r = (
             voxels_r[order], coords_r[order], num_points_r[order])

@@ -17,16 +17,35 @@ from . import rotated_iou
 
 def _greedy_suppress(iou: jax.Array, valid: jax.Array,
                      iou_threshold: float) -> jax.Array:
-    """Greedy NMS given a [K,K] IoU matrix of score-sorted boxes."""
+    """Greedy NMS given a [K,K] IoU matrix of score-sorted boxes.
+
+    EXACT greedy semantics via fixpoint iteration instead of a K-step
+    sequential row loop (851 ms/scan at K=1000 on TPU — each fori step
+    is a tiny serialized vector op).  The greedy solution is the unique
+    fixpoint of ``keep_i = valid_i ∧ ¬∃ j<i: keep_j ∧ iou_ji > thr``
+    (row 0 is determined, row i depends only on rows < i — induction),
+    and iterating F from keep=valid finalizes at least one more leading
+    row per sweep, so the while_loop exits at the exact greedy answer —
+    typically after ~chain-depth (<10) sweeps, each one masked-matmul
+    on the MXU."""
     k = iou.shape[0]
-    col = jnp.arange(k)
+    row = jnp.arange(k)[:, None]
+    col = jnp.arange(k)[None, :]
+    # M[j, i] = suppressor mask: j earlier than i and overlapping
+    sup_m = ((iou > iou_threshold) & (row < col)).astype(jnp.float32)
 
-    def body(i, keep):
-        alive = keep[i] & valid[i]
-        sup = alive & (iou[i] > iou_threshold) & (col > i)
-        return keep & ~sup
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < k)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = (keep.astype(jnp.float32) @ sup_m) > 0
+        return valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+    return keep
 
 
 @functools.partial(jax.jit,

@@ -97,7 +97,8 @@ def fused_voxelize_mean(points: jax.Array,
     gx, gy, gz = (int(g) for g in grid_size)
     c, in_range = vj._cell_coords(points, voxel_size, pc_range, grid_size)
     valid = in_range & (jnp.arange(P) < num_valid)
-    key = (c[:, 2] * gy + c[:, 1]) * gx + c[:, 0]
+    # depth-minor key (y, x, z) — matches ops.sparse_conv.linearize
+    key = (c[:, 1] * gx + c[:, 0]) * gz + c[:, 2]
     V, T = max_voxels, max_points
     TV, W = int(tile), int(window)
     if not interpret:

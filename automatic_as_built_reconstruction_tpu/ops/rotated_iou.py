@@ -9,7 +9,8 @@ vertex slots lead, the (N, K) pair axes stay MINOR so XLA's (8, 128)
 tiling lands on the large axes.  (The naive per-pair vmap puts the tiny
 vertex/xy axes minor, and every [N, K, 8, 2, 2] temporary pads 16x —
 15 GB of padding at N=K=1000.)  Slot compaction after each half-plane
-clip is a 16-slot stable sort (emitted-first) instead of a scatter.
+clip is an unrolled 8x16 masked-sum (cumsum positions are unique among
+emitted slots) — branch-free, no scatter, no sort.
 
 Parity-tested against the independent vertex-enumeration oracle in
 ``core.geometry``.
@@ -70,13 +71,19 @@ def _clip_halfplane_soa(px, py, n, ax, ay, bx, by):
     cand_x = jnp.stack([px, ix], axis=1).reshape((16,) + rest)
     cand_y = jnp.stack([py, iy], axis=1).reshape((16,) + rest)
     emit = jnp.stack([emit_cur, crossing], axis=1).reshape((16,) + rest)
-    # compact: stable sort by (not emitted, slot) moves emitted slots to
-    # the front in original (cyclic) order — no scatter
-    slot = jnp.arange(16).reshape((16,) + (1,) * len(rest))
-    key = jnp.where(emit, slot, 16 + slot).astype(jnp.int32)
-    key = jnp.broadcast_to(key, (16,) + rest)
-    _, sx, sy = lax.sort((key, cand_x, cand_y), dimension=0, num_keys=1)
-    return sx[:8], sy[:8], jnp.sum(emit, axis=0).astype(jnp.int32)
+    # compact to the first 8 slots: emitted slot i lands at position
+    # cumsum(emit)[i]-1; materialize each output slot j as a masked sum
+    # over the 16 candidates (8x16 unrolled compare+select — cheap,
+    # branch-free, and far simpler to compile than a sort or scatter)
+    slot_pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
+    hit = lambda j: emit & (slot_pos == j)           # noqa: E731
+    sx = jnp.stack(
+        [jnp.sum(jnp.where(hit(j), cand_x, 0.0), axis=0)
+         for j in range(8)], axis=0)
+    sy = jnp.stack(
+        [jnp.sum(jnp.where(hit(j), cand_y, 0.0), axis=0)
+         for j in range(8)], axis=0)
+    return sx, sy, jnp.sum(emit, axis=0).astype(jnp.int32)
 
 
 def _shoelace_soa(px, py, n):

@@ -45,7 +45,7 @@ def _coord_table(coords: np.ndarray, grid) -> Dict[int, int]:
         z, y, x = (int(coords[i, 0]), int(coords[i, 1]), int(coords[i, 2]))
         if z < 0 or z >= D or y < 0 or y >= H or x < 0 or x >= W:
             continue
-        key = (z * H + y) * W + x
+        key = (y * W + x) * D + z    # depth-minor (sparse_conv.linearize)
         table.setdefault(key, i)   # first wins (device parity)
     return table
 
@@ -73,7 +73,7 @@ def subm_rulebook_np(coords: np.ndarray, grid, kernel=(3, 3, 3)):
         ok = valid & (q >= 0).all(-1) & (q[:, 0] < D) & (q[:, 1] < H) \
             & (q[:, 2] < W)
         for i in np.nonzero(ok)[0]:
-            key = (int(q[i, 0]) * H + int(q[i, 1])) * W + int(q[i, 2])
+            key = (int(q[i, 1]) * W + int(q[i, 2])) * D + int(q[i, 0])
             j = table.get(key)
             if j is not None:
                 gather_idx[k, i] = j
@@ -100,14 +100,14 @@ def strided_layout_np(coords: np.ndarray, grid, kernel, stride, pad,
         for oz in rng[0]:
             for oy in rng[1]:
                 for ox in rng[2]:
-                    cand.add((oz * out_grid[1] + oy) * out_grid[2] + ox)
+                    cand.add((oy * out_grid[2] + ox) * out_grid[0] + oz)
     keys = sorted(cand)[:max_out]
     num_out = len(keys)
     out_coords = np.full((max_out, 3), -1, np.int32)
     for o, key in enumerate(keys):
-        out_coords[o] = (key // (out_grid[1] * out_grid[2]),
-                         (key // out_grid[2]) % out_grid[1],
-                         key % out_grid[2])
+        out_coords[o] = (key % out_grid[0],
+                         key // (out_grid[2] * out_grid[0]),
+                         (key // out_grid[0]) % out_grid[2])
     out_valid = np.arange(max_out) < num_out
 
     table = _coord_table(coords, grid)
@@ -121,7 +121,7 @@ def strided_layout_np(coords: np.ndarray, grid, kernel, stride, pad,
         ok = out_valid & (ic >= 0).all(-1) & (ic[:, 0] < D) \
             & (ic[:, 1] < H) & (ic[:, 2] < W)
         for o in np.nonzero(ok)[0]:
-            key = (int(ic[o, 0]) * H + int(ic[o, 1])) * W + int(ic[o, 2])
+            key = (int(ic[o, 1]) * W + int(ic[o, 2])) * D + int(ic[o, 0])
             j = table.get(key)
             if j is not None:
                 gather_idx[t, o] = j

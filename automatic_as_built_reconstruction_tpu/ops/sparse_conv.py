@@ -40,11 +40,19 @@ def _offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
 
 
 def linearize(coords: jax.Array, grid_dhw: Tuple[int, int, int]) -> jax.Array:
-    """(z,y,x) int coords -> linear keys; invalid (<0 or >=grid) -> INT_MAX."""
+    """(z,y,x) int coords -> linear keys; invalid (<0 or >=grid) -> INT_MAX.
+
+    DEPTH-MINOR order — key = (y*W + x)*D + z.  Scans are BEV-dense and
+    z-sparse, so with (y, x, z)-sorted active sites ALL 27 kernel-tap
+    neighbors of a site sit within a few BEV rows of it in index space
+    (~tens of rows).  Under the lineage's z-major order a dz=±1 tap
+    jumps an entire z-slab (~10k indices on ground-heavy scans), which
+    forced the Pallas windowed gather-GEMM into its XLA fallback on 75%
+    of real FHD rulebooks (round-3 telemetry)."""
     D, H, W = grid_dhw
     z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
     ok = ((z >= 0) & (z < D) & (y >= 0) & (y < H) & (x >= 0) & (x < W))
-    key = (z * H + y) * W + x
+    key = (y * W + x) * D + z
     return jnp.where(ok, key, _INT32_MAX)
 
 
@@ -322,10 +330,10 @@ def build_strided_layout(coords: jax.Array, valid: jax.Array,
     num_out = jnp.minimum(jnp.sum(first), max_out).astype(jnp.int32)
     out_valid = jnp.arange(max_out) < num_out
     # out_keys is sorted ascending (construction order preserves sort)
-    oW, oH = out_grid[2], out_grid[1]
-    oz = out_keys // (oH * oW)
-    oy = (out_keys // oW) % oH
-    ox = out_keys % oW
+    oD, oW = out_grid[0], out_grid[2]
+    oy = out_keys // (oW * oD)
+    ox = (out_keys // oD) % oW
+    oz = out_keys % oD
     out_coords = jnp.where(
         out_valid[:, None],
         jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)
@@ -401,10 +409,10 @@ def build_strided_layout_lut(coords: jax.Array, valid: jax.Array,
         csum, jnp.arange(1, max_out + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
     out_keys = jnp.where(out_valid, out_keys, _INT32_MAX)
-    oW, oH = out_grid[2], out_grid[1]
-    oz = out_keys // (oH * oW)
-    oy = (out_keys // oW) % oH
-    ox = out_keys % oW
+    oD, oW = out_grid[0], out_grid[2]
+    oy = out_keys // (oW * oD)
+    ox = (out_keys // oD) % oW
+    oz = out_keys % oD
     out_coords = jnp.where(
         out_valid[:, None],
         jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)

@@ -107,7 +107,9 @@ def voxelize(points: jax.Array,
     assert gx * gy * gz < _INT32_MAX, "grid too large for int32 keys"
     c, in_range = _cell_coords(points, voxel_size, pc_range, grid_size)
     valid = in_range & (jnp.arange(P) < num_valid)
-    key = (c[:, 2] * gy + c[:, 1]) * gx + c[:, 0]
+    # depth-minor key (y, x, z) — matches ops.sparse_conv.linearize so
+    # key-sorted voxels give monotone, window-local sparse-conv rulebooks
+    key = (c[:, 1] * gx + c[:, 0]) * gz + c[:, 2]
     V, T = max_voxels, max_points
 
     order, svalid, first, seg_id, rank = _sorted_segments(key, valid)
@@ -188,7 +190,9 @@ def dynamic_voxelize(points: jax.Array,
     gx, gy, gz = (int(g) for g in grid_size)
     c, in_range = _cell_coords(points, voxel_size, pc_range, grid_size)
     valid = in_range & (jnp.arange(P) < num_valid)
-    key = (c[:, 2] * gy + c[:, 1]) * gx + c[:, 0]
+    # depth-minor key (y, x, z) — matches ops.sparse_conv.linearize so
+    # key-sorted voxels give monotone, window-local sparse-conv rulebooks
+    key = (c[:, 1] * gx + c[:, 0]) * gz + c[:, 2]
 
     order, svalid, first, seg_id, _rank = _sorted_segments(key, valid)
     slots = _voxel_slots(order, first, seg_id, svalid, True)

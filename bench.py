@@ -120,6 +120,11 @@ def _flops_of(jax, fn, *args):
         return None
 
 
+def _progress(msg):
+    import sys, time as _t
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def bench_pillar(jax, jnp) -> dict:
     """Pillar-path FULL pipeline (device voxelize + VFE + scatter + RPN +
     decode + rotated NMS) scans/s, with stage breakdown and MFU."""
@@ -180,10 +185,14 @@ def bench_pillar(jax, jnp) -> dict:
                 + jnp.sum(det["scores"]))
 
     pts = jnp.asarray(base)
+    _progress("pillar: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
+    _progress("pillar: timing network stage")
     dt_net = _loop_delta(jax, jnp, stage_net, (pts,), 1, 3)
+    _progress("pillar: timing full pipeline (decode+NMS)")
     dt_full = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
 
+    _progress("pillar: cost analysis")
     flops = _flops_of(
         jax, lambda p: stage_full(jnp.float32(1.0), p), pts)
     flops_per_scan = flops / B if flops else None
@@ -259,10 +268,12 @@ def bench_second_fhd(jax, jnp) -> dict:
             grid_size=vcfg.grid_size, max_points=PPV, max_voxels=VCAP,
             first_appearance=False)     # key-sorted -> monotone rulebooks
 
+    _progress("fhd: voxelizing sample batch")
     vox0 = jax.vmap(voxelize)(jnp.asarray(base), num_valid)
 
     # --- Pallas window autotune + fallback telemetry on real rulebooks
     plan = voxelnet_mod.middle_plan(vcfg, VCAP)
+    _progress("fhd: building telemetry rulebooks on device")
     books = _device_rulebooks(jax, jnp, vox0.coords[0], plan)
     window = sgg.choose_window(books, VCAP, tile=vcfg.sparse_pallas_tile)
     n_fit = sum(
@@ -293,7 +304,9 @@ def bench_second_fhd(jax, jnp) -> dict:
                 + jnp.sum(det["scores"]))
 
     pts = jnp.asarray(base)
+    _progress("fhd: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
+    _progress("fhd: timing device-only full pipeline")
     dt_full = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
     device_sps = B / dt_full
 
@@ -303,6 +316,7 @@ def bench_second_fhd(jax, jnp) -> dict:
     mfu = (flops_per_scan / (dt_full / B) / V5E_BF16_PEAK_FLOPS
            if flops_per_scan else None)
 
+    _progress("fhd: cost analysis done; host pipeline")
     host_sps, hostpipe_sps = _fhd_host_pipeline(jax, jnp, vcfg, plan)
 
     return {
@@ -380,8 +394,9 @@ def _fhd_host_pipeline(jax, jnp, vcfg, plan):
             voxels, coords, npts = vox.points_to_voxel_fast(
                 scan, VOXEL, RANGE, max_points=PPV, max_voxels=VCAP)
             nv = voxels.shape[0]
-            keys = ((coords[:, 0].astype(np.int64) * GRID[1]
-                     + coords[:, 1]) * GRID[2] + coords[:, 2])
+            # depth-minor (y, x, z) key — matches sparse_conv.linearize
+            keys = ((coords[:, 1].astype(np.int64) * GRID[2]
+                     + coords[:, 2]) * GRID[0] + coords[:, 0])
             order = np.argsort(keys, kind="stable")
             voxels, coords, npts = (voxels[order], coords[order],
                                     npts[order])
@@ -455,7 +470,9 @@ def main():
     import jax.numpy as jnp
 
     pillar = bench_pillar(jax, jnp)
+    _progress("pillar done; starting second_fhd")
     fhd = bench_second_fhd(jax, jnp)
+    _progress("fhd done; starting voxelize")
     vox_mpts = bench_voxelize(jax, jnp)
 
     full_sps = pillar["full_sps"]

@@ -52,7 +52,7 @@ int abr_points_to_voxel(const float* points, int64_t P, int64_t C,
     const int64_t cz = (int64_t)std::floor((p[2] - z0) / vz);
     if (cx < 0 || cx >= gx || cy < 0 || cy >= gy || cz < 0 || cz >= gz)
       continue;
-    const int64_t key = (cz * gy + cy) * gx + cx;
+    const int64_t key = (cy * gx + cx) * gz + cz;
     auto it = key_to_voxel.find(key);
     int32_t v;
     if (it == key_to_voxel.end()) {
@@ -78,8 +78,9 @@ int abr_points_to_voxel(const float* points, int64_t P, int64_t C,
 // Fused voxelize + capped mean, key-sorted output — the host twin of the
 // ops/pallas/voxel_mean.py kernel (SECOND's SimpleVoxel input stage).
 // Emits per-voxel means of the first `max_points` FCFS points directly,
-// with voxels ordered by ascending linear key (z*gy + y)*gx + x so the
-// downstream sparse-conv rulebooks are monotone per tap.  Skips the
+// with voxels ordered by ascending DEPTH-MINOR key (y*gx + x)*gz + z so
+// the downstream sparse-conv rulebooks are monotone AND window-local
+// per tap (all 27 neighbors sit within a few BEV rows).  Skips the
 // [V, T, C] voxel buffer, the separate mean pass, and the numpy re-sort.
 // means: [max_voxels, C]; coords: [max_voxels, 3] int32 (z, y, x);
 // counts: [max_voxels] int32.  Returns the number of voxels.
@@ -110,7 +111,7 @@ int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
     if (cxi < 0 || cxi >= gx || cyi < 0 || cyi >= gy || czi < 0 ||
         czi >= gz)
       continue;
-    const int64_t key = (czi * gy + cyi) * gx + cxi;
+    const int64_t key = (cyi * gx + cxi) * gz + czi;
     auto it = key_to_slot.find(key);
     int32_t s;
     if (it == key_to_slot.end()) {
@@ -140,9 +141,9 @@ int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
     const int32_t n = cnt[s];
     for (int64_t c = 0; c < C; ++c)
       means[o * C + c] = (float)(sums[(size_t)s * C + c] / std::max(n, 1));
-    coords[o * 3 + 0] = (int32_t)(key / (gy * gx));
-    coords[o * 3 + 1] = (int32_t)((key / gx) % gy);
-    coords[o * 3 + 2] = (int32_t)(key % gx);
+    coords[o * 3 + 0] = (int32_t)(key % gz);
+    coords[o * 3 + 1] = (int32_t)(key / (gx * gz));
+    coords[o * 3 + 2] = (int32_t)((key / gz) % gx);
     counts[o] = n;
   }
   for (int64_t o = nv; o < max_voxels; ++o) {
@@ -477,12 +478,16 @@ void abr_eval_statistics(const float* overlaps, int64_t D, int64_t G,
 // truncation at max_out.  coords are [N,3] int32 (z,y,x); rows with z < 0
 // are padding.
 
+// DEPTH-MINOR key (y*W + x)*D + z — matches ops/sparse_conv.py::linearize.
+// With (y, x, z)-sorted sites every kernel-tap neighbor stays within a few
+// BEV rows in index space (window-local monotone rulebooks for the Pallas
+// gather-GEMM kernel); dz taps differ by consecutive keys.
 static inline int64_t lin_key(int32_t z, int32_t y, int32_t x,
                               const int32_t* grid) {
   if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1] || x < 0 ||
       x >= grid[2])
     return -1;
-  return ((int64_t)z * grid[1] + y) * grid[2] + x;
+  return ((int64_t)y * grid[2] + x) * grid[0] + z;
 }
 
 // Open-addressing hash table (linear probing, power-of-two capacity) —
@@ -601,7 +606,7 @@ int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
     for (int32_t oz = lo[0]; oz <= hi[0]; ++oz)
       for (int32_t oy = lo[1]; oy <= hi[1]; ++oy)
         for (int32_t ox = lo[2]; ox <= hi[2]; ++ox)
-          cand.push_back(((int64_t)oz * out_grid[1] + oy) * out_grid[2] + ox);
+          cand.push_back(((int64_t)oy * out_grid[2] + ox) * out_grid[0] + oz);
   }
   std::sort(cand.begin(), cand.end());
   cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
@@ -611,10 +616,10 @@ int abr_strided_layout(const int32_t* coords, int64_t N, const int32_t* grid,
   for (int64_t o = 0; o < max_out; ++o) {
     if (o < num_out) {
       const int64_t key = cand[o];
-      out_coords[o * 3 + 0] = (int32_t)(key / ((int64_t)out_grid[1] *
-                                               out_grid[2]));
-      out_coords[o * 3 + 1] = (int32_t)((key / out_grid[2]) % out_grid[1]);
-      out_coords[o * 3 + 2] = (int32_t)(key % out_grid[2]);
+      out_coords[o * 3 + 0] = (int32_t)(key % out_grid[0]);
+      out_coords[o * 3 + 1] = (int32_t)(key / ((int64_t)out_grid[2] *
+                                               out_grid[0]));
+      out_coords[o * 3 + 2] = (int32_t)((key / out_grid[0]) % out_grid[2]);
       out_valid[o] = 1;
     } else {
       out_coords[o * 3 + 0] = -1;
@@ -695,33 +700,35 @@ SortedKeys sort_keys(const int32_t* coords, int64_t N, const int32_t* grid) {
   return s;
 }
 
-// One merge walk resolves THREE taps at once: for a fixed (dz, dy) the
-// dx in {-1, 0, +1} query keys are consecutive integers, so after
-// advancing the pointer to qkey-1 the three candidates sit in keys[j..j+2]
-// (keys are unique).  gi/fo are the [K, N] tap-major outputs; k is the
-// tap index of dx == -1.
-inline void merge_tap3(const SortedKeys& s, const int32_t* grid,
-                       int32_t dz, int32_t dy, int64_t k, int64_t N,
+// One merge walk resolves ALL kz z-taps at once: for a fixed (dy, dx)
+// the dz query keys are consecutive integers (depth-minor keys), so after
+// advancing the pointer the candidates sit in keys[j..j+kz-1] (keys are
+// unique).  gi/fo are the tap-major outputs with row stride N;
+// k_base = tap index of (dz == -(kz/2), dy, dx); k_stride = ky*kx.
+inline void merge_tapz(const SortedKeys& s, const int32_t* grid,
+                       int32_t dy, int32_t dx, int32_t kz, int64_t k_base,
+                       int64_t k_stride, int64_t N,
                        int32_t* gi, uint8_t* fo) {
   const int64_t M = (int64_t)s.keys.size();
-  const int64_t delta = ((int64_t)dz * grid[1] + dy) * grid[2];
-  const int32_t W = grid[2];
+  const int32_t D = grid[0];
+  const int32_t z_lo = -(kz / 2);
+  const int64_t delta = ((int64_t)dy * grid[2] + dx) * grid[0] + z_lo;
   int64_t j = 0;
   for (int64_t q = 0; q < M; ++q) {
-    const int32_t z = s.cz[q] + dz, y = s.cy[q] + dy;
-    if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1]) continue;
-    const int32_t x = s.cx[q];
-    const int64_t qbase = s.keys[q] + delta;   // key of dx == 0
-    while (j < M && s.keys[j] < qbase - 1) ++j;
+    const int32_t y = s.cy[q] + dy, x = s.cx[q] + dx;
+    if (y < 0 || y >= grid[1] || x < 0 || x >= grid[2]) continue;
+    const int32_t z0 = s.cz[q] + z_lo;       // z of the first z-tap
+    const int64_t qbase = s.keys[q] + delta;
+    while (j < M && s.keys[j] < qbase) ++j;
     const int32_t row = s.idx[q];
-    for (int64_t jj = j; jj < M && jj < j + 3 && s.keys[jj] <= qbase + 1;
-         ++jj) {
-      const int64_t d = s.keys[jj] - qbase;    // -1, 0, or +1
-      if (d < -1 || d > 1) continue;
-      const int32_t xq = x + (int32_t)d;
-      if (xq < 0 || xq >= W) continue;
-      gi[(k + d + 1) * N + row] = s.idx[jj];
-      fo[(k + d + 1) * N + row] = 1;
+    for (int64_t jj = j; jj < M && jj < j + kz &&
+                         s.keys[jj] <= qbase + kz - 1; ++jj) {
+      const int64_t d = s.keys[jj] - qbase;  // dz tap offset 0..kz-1
+      if (d < 0 || d >= kz) continue;
+      const int32_t zq = z0 + (int32_t)d;    // column-wrap guard
+      if (zq < 0 || zq >= D) continue;
+      gi[(k_base + d * k_stride) * N + row] = s.idx[jj];
+      fo[(k_base + d * k_stride) * N + row] = 1;
     }
   }
 }
@@ -749,38 +756,18 @@ int abr_block_rulebooks(const int32_t* coords, int64_t N,
   const int32_t kz = ksize[0], ky = ksize[1], kx = ksize[2];
   const int64_t M = (int64_t)s.keys.size();
 
-  // submanifold rulebook: centered offsets, dz slowest.  For kx == 3 one
-  // walk resolves all three x-taps (consecutive keys).
+  // submanifold rulebook: centered offsets, dz slowest in tap order.
+  // Depth-minor keys make the kz z-taps of each (dy, dx) consecutive —
+  // one merge walk resolves the whole z-column of taps.
   std::memset(subm_idx, 0, sizeof(int32_t) * kz * ky * kx * N);
   std::memset(subm_found, 0, sizeof(uint8_t) * kz * ky * kx * N);
-  if (kx == 3) {
-    int64_t k = 0;
-    for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
-      for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy, k += 3)
-        merge_tap3(s, grid, dz, dy, k, N, subm_idx, subm_found);
-  } else {
-    int64_t k = 0;
-    for (int32_t dz = -(kz / 2); dz < kz - kz / 2; ++dz)
-      for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy)
-        for (int32_t dx = -(kx / 2); dx < kx - kx / 2; ++dx, ++k) {
-          int32_t* gi = subm_idx + k * N;
-          uint8_t* fo = subm_found + k * N;
-          const int64_t delta = ((int64_t)dz * grid[1] + dy) * grid[2] + dx;
-          int64_t j = 0;
-          for (int64_t q = 0; q < M; ++q) {
-            const int32_t z = s.cz[q] + dz, y = s.cy[q] + dy,
-                          x = s.cx[q] + dx;
-            if (z < 0 || z >= grid[0] || y < 0 || y >= grid[1] || x < 0 ||
-                x >= grid[2])
-              continue;
-            const int64_t qkey = s.keys[q] + delta;
-            while (j < M && s.keys[j] < qkey) ++j;
-            if (j < M && s.keys[j] == qkey) {
-              gi[s.idx[q]] = s.idx[j];
-              fo[s.idx[q]] = 1;
-            }
-          }
-        }
+  {
+    const int64_t k_stride = (int64_t)ky * kx;
+    int64_t base = 0;
+    for (int32_t dy = -(ky / 2); dy < ky - ky / 2; ++dy)
+      for (int32_t dx = -(kx / 2); dx < kx - kx / 2; ++dx, ++base)
+        merge_tapz(s, grid, dy, dx, kz, base, k_stride, N, subm_idx,
+                   subm_found);
   }
 
   // strided output sites: mark candidate cells in a bitmap over the
@@ -806,7 +793,7 @@ int abr_block_rulebooks(const int32_t* coords, int64_t N,
     for (int32_t oz = lo[0]; oz <= hi[0]; ++oz)
       for (int32_t oy = lo[1]; oy <= hi[1]; ++oy)
         for (int32_t ox = lo[2]; ox <= hi[2]; ++ox)
-          bm.set(((int64_t)oz * out_grid[1] + oy) * out_grid[2] + ox);
+          bm.set(((int64_t)oy * out_grid[2] + ox) * out_grid[0] + oz);
   }
   int64_t num_out = 0;
   const int64_t n_words = (int64_t)bm.words.size();
@@ -816,11 +803,11 @@ int abr_block_rulebooks(const int32_t* coords, int64_t N,
       const int b = __builtin_ctzll(bits);
       bits &= bits - 1;
       const int64_t key = (w << 6) | b;
-      out_coords[num_out * 3 + 0] =
-          (int32_t)(key / ((int64_t)out_grid[1] * out_grid[2]));
+      out_coords[num_out * 3 + 0] = (int32_t)(key % out_grid[0]);
       out_coords[num_out * 3 + 1] =
-          (int32_t)((key / out_grid[2]) % out_grid[1]);
-      out_coords[num_out * 3 + 2] = (int32_t)(key % out_grid[2]);
+          (int32_t)(key / ((int64_t)out_grid[2] * out_grid[0]));
+      out_coords[num_out * 3 + 2] =
+          (int32_t)((key / out_grid[0]) % out_grid[2]);
       out_valid[num_out] = 1;
       ++num_out;
     }
@@ -833,57 +820,35 @@ int abr_block_rulebooks(const int32_t* coords, int64_t N,
   }
 
   // strided rulebook: out-site query keys ascend with out_coords
-  // (sorted-unique); for kx == 3 and any sx the three x-taps give query
-  // keys ix0 + {0, 1, 2}, i.e. consecutive — one walk per (tz, ty).
+  // (sorted-unique); for any kz the z-taps of a fixed (ty, tx) give
+  // consecutive query keys — one walk per (ty, tx).
   std::memset(down_idx, 0, sizeof(int32_t) * kz * ky * kx * max_out);
   std::memset(down_found, 0, sizeof(uint8_t) * kz * ky * kx * max_out);
-  int64_t t = 0;
-  for (int32_t tz = 0; tz < kz; ++tz)
-    for (int32_t ty = 0; ty < ky; ++ty) {
-      if (kx == 3) {
-        int64_t j = 0;
-        for (int64_t o = 0; o < num_out; ++o) {
-          const int32_t iz = out_coords[o * 3 + 0] * stride[0] + tz - pad[0];
-          const int32_t iy = out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
-          if (iz < 0 || iz >= grid[0] || iy < 0 || iy >= grid[1]) continue;
-          const int32_t ix0 = out_coords[o * 3 + 2] * stride[2] - pad[2];
-          const int64_t qbase = ((int64_t)iz * grid[1] + iy) * grid[2] + ix0;
-          while (j < M && s.keys[j] < qbase) ++j;
-          for (int64_t jj = j; jj < M && jj < j + 3 && s.keys[jj] <= qbase + 2;
-               ++jj) {
-            const int64_t d = s.keys[jj] - qbase;   // tx = 0, 1, or 2
-            if (d < 0 || d > 2) continue;
-            const int32_t xq = ix0 + (int32_t)d;
-            if (xq < 0 || xq >= grid[2]) continue;
-            down_idx[(t + d) * max_out + o] = s.idx[jj];
-            down_found[(t + d) * max_out + o] = 1;
-          }
-        }
-        t += 3;
-      } else {
-        for (int32_t tx = 0; tx < kx; ++tx, ++t) {
-          int32_t* gi = down_idx + t * max_out;
-          uint8_t* fo = down_found + t * max_out;
-          int64_t j = 0;
-          for (int64_t o = 0; o < num_out; ++o) {
-            const int32_t iz =
-                out_coords[o * 3 + 0] * stride[0] + tz - pad[0];
-            const int32_t iy =
-                out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
-            const int32_t ix =
-                out_coords[o * 3 + 2] * stride[2] + tx - pad[2];
-            const int64_t key = lin_key(iz, iy, ix, grid);
-            if (key < 0) continue;
-            while (j < M && s.keys[j] < key) ++j;
-            if (j < M && s.keys[j] == key) {
-              gi[o] = s.idx[j];
-              fo[o] = 1;
-            }
-          }
+  const int64_t t_stride = (int64_t)ky * kx;
+  int64_t t_base = 0;
+  for (int32_t ty = 0; ty < ky; ++ty)
+    for (int32_t tx = 0; tx < kx; ++tx, ++t_base) {
+      int64_t j = 0;
+      for (int64_t o = 0; o < num_out; ++o) {
+        const int32_t iy = out_coords[o * 3 + 1] * stride[1] + ty - pad[1];
+        const int32_t ix = out_coords[o * 3 + 2] * stride[2] + tx - pad[2];
+        if (iy < 0 || iy >= grid[1] || ix < 0 || ix >= grid[2]) continue;
+        const int32_t iz0 = out_coords[o * 3 + 0] * stride[0] - pad[0];
+        const int64_t qbase =
+            ((int64_t)iy * grid[2] + ix) * grid[0] + iz0;
+        while (j < M && s.keys[j] < qbase) ++j;
+        for (int64_t jj = j; jj < M && jj < j + kz &&
+                             s.keys[jj] <= qbase + kz - 1; ++jj) {
+          const int64_t d = s.keys[jj] - qbase;   // tz = 0..kz-1
+          if (d < 0 || d >= kz) continue;
+          const int32_t zq = iz0 + (int32_t)d;
+          if (zq < 0 || zq >= grid[0]) continue;
+          down_idx[(t_base + d * t_stride) * max_out + o] = s.idx[jj];
+          down_found[(t_base + d * t_stride) * max_out + o] = 1;
         }
       }
     }
-  return (int)num_out;
+  return (int)num_out;  return (int)num_out;
 }
 
 }  // extern "C"

@@ -93,8 +93,10 @@ class TestVoxelizeSortedMean:
         # reference: FCFS hard voxelize then capped mean, re-sorted by key
         voxels_r, coords_r, npts_r = voxelize.points_to_voxel(
             pts, vs, cr, max_points=T, max_voxels=V)
-        keys = ((coords_r[:, 0].astype(np.int64) * 32 + coords_r[:, 1])
-                * 32 + coords_r[:, 2])
+        # depth-minor (y, x, z) key — the canonical sparse order
+        gz = 8
+        keys = ((coords_r[:, 1].astype(np.int64) * 32 + coords_r[:, 2])
+                * gz + coords_r[:, 0])
         order = np.argsort(keys, kind="stable")
         ref_means = (voxels_r.sum(1)
                      / np.maximum(npts_r, 1)[:, None])[order]
@@ -104,7 +106,7 @@ class TestVoxelizeSortedMean:
         np.testing.assert_allclose(means[:nv], ref_means, rtol=1e-5,
                                    atol=1e-5)
         # keys ascending, padding clean
-        k2 = ((coords[:nv, 0].astype(np.int64) * 32 + coords[:nv, 1])
-              * 32 + coords[:nv, 2])
+        k2 = ((coords[:nv, 1].astype(np.int64) * 32 + coords[:nv, 2])
+              * gz + coords[:nv, 0])
         assert (np.diff(k2) > 0).all()
         assert (coords[nv:] == -1).all() and (counts[nv:] == 0).all()

@@ -247,3 +247,37 @@ class TestBlockedRotateIoU:
         blocked = np.asarray(rotated_iou.rotate_iou_matrix_blocked(
             jnp.asarray(a), jnp.asarray(a), row_block=64))
         np.testing.assert_allclose(blocked, full, atol=1e-5, rtol=1e-5)
+
+
+class TestFixpointNmsChains:
+    """The fixpoint greedy NMS must preserve exact chain semantics:
+    A suppresses B, so C (overlapping B but not A) SURVIVES."""
+
+    def test_explicit_chain(self):
+        # three collinear overlapping boxes, scores A > B > C
+        boxes = np.array([[0.0, 0, 4, 4, 0],
+                          [2.5, 0, 4, 4, 0],     # iou(A,B) > 0.3
+                          [5.0, 0, 4, 4, 0]],    # iou(B,C) > 0.3, iou(A,C)=0
+                         np.float32)
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        idx, valid = nms_jax.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.2,
+            pre_max_size=3, post_max_size=3)
+        kept = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(kept, [0, 2])
+
+    def test_dense_cluster_chains_vs_oracle(self):
+        rng = np.random.default_rng(21)
+        n = 300
+        # long chains: boxes along a line spaced to overlap neighbors
+        x = np.cumsum(rng.uniform(1.0, 2.5, n))
+        boxes = np.stack([x, rng.normal(0, 0.3, n),
+                          np.full(n, 4.0), np.full(n, 3.0),
+                          rng.normal(0, 0.1, n)], 1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep_np = nms_np.rotate_nms(boxes, scores, 0.25)
+        idx_j, valid_j = nms_jax.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.25,
+            pre_max_size=n, post_max_size=n)
+        keep_j = np.asarray(idx_j)[np.asarray(valid_j)]
+        np.testing.assert_array_equal(keep_j, keep_np)

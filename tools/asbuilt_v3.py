@@ -1,0 +1,129 @@
+"""Round-3 as-built accuracy run (VERDICT r2 item 4): close the
+thin-class gap — target mAP.bev >= 0.85 with door >= 0.75 on the same
+32-scene synthetic val split as rounds 1-2.
+
+Recipe changes vs the round-2 flagship (asbuilt_pillars.config):
+- train from a 1024-scene on-disk dataset (4x round-2's 256 in-memory
+  scenes) with GT-DATABASE SAMPLING for the rare classes (door/column
+  paste-in augmentation — doors are 115/4000 of the gt boxes),
+- eval score threshold 0.05 instead of 0.2 (the 0.2 cutoff truncates
+  the PR tail that AP integrates over),
+- 12000 steps (one-cycle re-stretched), slightly lower matched
+  threshold for doors (0.7 -> 0.62: distance-similarity score of a
+  worst-case-placed anchor vs an ajar leaf sits just under 0.7).
+
+Chunked subprocesses per the TPU-relay RSS leak (see verify skill).
+
+Usage:
+  python tools/asbuilt_v3.py --model_dir /tmp/asbuilt_v3 \
+      [--data_root /tmp/building_1k] [--steps 12000] [--chunk 1000]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def ensure_data(root: pathlib.Path, num_scenes: int = 1024) -> None:
+    if (root / "building_dbinfos_train.pkl").exists():
+        print(f"data already prepared under {root}")
+        return
+    from automatic_as_built_reconstruction_tpu.data import create_data
+    create_data.building_data_prep(root, num_scenes=num_scenes,
+                                   num_val=32, seed=0)
+
+
+def make_config(data_root: pathlib.Path, steps: int) -> str:
+    from automatic_as_built_reconstruction_tpu import builder
+
+    cfg = builder.load_config(
+        REPO / "automatic_as_built_reconstruction_tpu" / "configs"
+        / "building" / "asbuilt_pillars.config")
+    m = cfg.model.second
+    m.nms_score_threshold = 0.05
+    for cs in m.target_assigner.class_settings:
+        if cs.class_name == "door":
+            cs.anchor_generator_range.matched_threshold = 0.62
+    tr = cfg.train_input_reader
+    tr.dataset.kitti_root_path = str(data_root)
+    tr.dataset.kitti_info_path = str(
+        data_root / "building_infos_train.pkl")
+    pp = tr.preprocess
+    db = pp.database_sampler
+    db.database_info_path = str(data_root / "building_dbinfos_train.pkl")
+    g = db.sample_groups.add()
+    g.name_to_max_num["door"] = 8
+    g = db.sample_groups.add()
+    g.name_to_max_num["column"] = 5
+    ps = db.database_prep_steps.add()
+    ps.filter_by_min_num_points.min_num_point_pairs["door"] = 40
+    ps.filter_by_min_num_points.min_num_point_pairs["column"] = 60
+    db.rate = 1.0
+    tc = cfg.train_config
+    tc.steps = steps
+    tc.steps_per_eval = steps + 1
+    tc.save_checkpoints_secs = 120
+    # eval reader stays zero-disk synthetic (num_synthetic=32, seed 7) —
+    # the SAME val split rounds 1-2 reported on
+    return str(cfg)
+
+
+def run_chunk(cfg_path, model_dir, upto: int) -> int:
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from automatic_as_built_reconstruction_tpu.train import train as t\n"
+        "state = t.train(%r, %r, max_steps=%d, display_step=50)\n"
+        "print('chunk done at step', int(state['step']))\n"
+        % (str(REPO), str(cfg_path), str(model_dir), upto))
+    return subprocess.call([sys.executable, "-c", code])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--data_root", default="/tmp/building_1k")
+    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--chunk", type=int, default=1000)
+    ap.add_argument("--eval_only", action="store_true")
+    args = ap.parse_args()
+
+    data_root = pathlib.Path(args.data_root)
+    model_dir = pathlib.Path(args.model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    ensure_data(data_root)
+    cfg_path = model_dir / "asbuilt_v3.config"
+    if not cfg_path.exists():
+        cfg_path.write_text(make_config(data_root, args.steps))
+        print(f"config -> {cfg_path}")
+
+    if not args.eval_only:
+        upto = args.chunk
+        while True:
+            target = min(upto, args.steps)
+            print(f"=== chunk to step {target} ===", flush=True)
+            rc = run_chunk(cfg_path, model_dir, target)
+            if rc != 0:
+                print(f"chunk exited rc={rc}; stopping")
+                return rc
+            if target == args.steps:
+                break
+            upto += args.chunk
+
+    print("=== evaluate ===", flush=True)
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from automatic_as_built_reconstruction_tpu.train import train as t\n"
+        "r = t.evaluate(%r, %r)\n"
+        "ks = sorted(k for k, v in r.items() if isinstance(v, float))\n"
+        "print('\\n'.join('%%s: %%.4f' %% (k, r[k]) for k in ks))\n"
+        % (str(REPO), str(cfg_path), str(model_dir)))
+    return subprocess.call([sys.executable, "-c", code])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
