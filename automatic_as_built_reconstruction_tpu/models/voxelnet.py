@@ -376,38 +376,42 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
                       & (batch_boxes[..., 2] <= lim[5]))
         scores_all = jnp.where(centers_ok[..., None], scores_all, 0.0)
 
-    def _per_sample(boxes, scores):
-        # boxes [A,7], scores [A,C]
-        outs = []
-        for c in range(cfg.num_class):
-            sc = scores[:, c]
-            sc = jnp.where(sc >= cfg.nms_score_threshold, sc, -jnp.inf)
-            if cfg.use_rotate_nms:
-                bev = boxes[:, jnp.array([0, 1, 3, 4, 6])]
-                idx, valid = nms_jax.rotate_nms(
-                    bev, sc, cfg.nms_iou_threshold,
-                    pre_max_size=min(cfg.nms_pre_max_size, boxes.shape[0]),
-                    post_max_size=cfg.nms_post_max_size)
-            else:
-                bev = nms_jax.rbbox_to_near_bbox(
-                    boxes[:, jnp.array([0, 1, 3, 4, 6])])
-                idx, valid = nms_jax.nearest_nms(
-                    bev, sc, cfg.nms_iou_threshold,
-                    pre_max_size=min(cfg.nms_pre_max_size, boxes.shape[0]),
-                    post_max_size=cfg.nms_post_max_size)
-            safe = jnp.where(valid, idx, 0)
-            outs.append((boxes[safe], jnp.where(valid, sc[safe], 0.0),
-                         jnp.full_like(idx, c), valid))
-        b = jnp.concatenate([o[0] for o in outs], axis=0)
-        s = jnp.concatenate([o[1] for o in outs], axis=0)
-        l = jnp.concatenate([o[2] for o in outs], axis=0)
-        v = jnp.concatenate([o[3] for o in outs], axis=0)
-        return b, s, l, v
+    B, A = batch_boxes.shape[:2]
+    C = cfg.num_class
+    D = cfg.nms_post_max_size
+    pre = min(cfg.nms_pre_max_size, A)
 
-    boxes, scores, labels, valid = jax.vmap(_per_sample)(
-        batch_boxes, scores_all)
-    return {"box3d_lidar": boxes, "scores": scores,
-            "label_preds": labels, "valid": valid}
+    # flatten (sample, class) -> R rows of one batched NMS problem so
+    # the whole batch shares a single pruned-vs-dense branch decision
+    # (a per-row lax.cond under vmap would run BOTH branches)
+    sc = jnp.moveaxis(scores_all, -1, 1)                  # [B, C, A]
+    sc = jnp.where(sc >= cfg.nms_score_threshold, sc, -jnp.inf)
+    flat_sc = sc.reshape(B * C, A)
+    boxes_rep = jnp.broadcast_to(
+        batch_boxes[:, None], (B, C, A, batch_boxes.shape[-1])
+    ).reshape(B * C, A, -1)
+    bev = boxes_rep[:, :, jnp.array([0, 1, 3, 4, 6])]
+    if cfg.use_rotate_nms:
+        idx, valid = nms_jax.rotate_nms_batch(
+            bev, flat_sc, cfg.nms_iou_threshold,
+            pre_max_size=pre, post_max_size=D)
+    else:
+        near = jax.vmap(nms_jax.rbbox_to_near_bbox)(bev)
+        idx, valid = jax.lax.map(
+            lambda bs: nms_jax.nearest_nms(
+                bs[0], bs[1], cfg.nms_iou_threshold,
+                pre_max_size=pre, post_max_size=D), (near, flat_sc))
+
+    safe = jnp.where(valid, idx, 0)                       # [B*C, D]
+    boxes = jnp.take_along_axis(boxes_rep, safe[..., None], axis=1)
+    scores = jnp.where(valid,
+                       jnp.take_along_axis(flat_sc, safe, axis=1), 0.0)
+    labels = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, D))
+    return {"box3d_lidar": boxes.reshape(B, C * D, -1),
+            "scores": scores.reshape(B, C * D),
+            "label_preds": labels.reshape(B, C * D),
+            "valid": valid.reshape(B, C * D)}
 
 
 def build_voxelnet(cfg: VoxelNetConfig) -> VoxelNet:

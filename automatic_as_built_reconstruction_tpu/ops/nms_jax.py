@@ -48,15 +48,185 @@ def _greedy_suppress(iou: jax.Array, valid: jax.Array,
     return keep
 
 
+def _circle_lens_area(d: jax.Array, r1: jax.Array,
+                      r2: jax.Array) -> jax.Array:
+    """Intersection area of two discs at center distance d (standard
+    lens formula, branch-free)."""
+    far = d >= r1 + r2
+    nested = d <= jnp.abs(r1 - r2)
+    dd = jnp.maximum(d, 1e-6)
+    d2 = dd * dd
+    a1 = jnp.clip((d2 + r1 * r1 - r2 * r2)
+                  / jnp.maximum(2.0 * dd * r1, 1e-9), -1.0, 1.0)
+    a2 = jnp.clip((d2 + r2 * r2 - r1 * r1)
+                  / jnp.maximum(2.0 * dd * r2, 1e-9), -1.0, 1.0)
+    s = jnp.maximum(
+        (-dd + r1 + r2) * (dd + r1 - r2) * (dd - r1 + r2) * (dd + r1 + r2),
+        0.0)
+    lens = (r1 * r1 * jnp.arccos(a1) + r2 * r2 * jnp.arccos(a2)
+            - 0.5 * jnp.sqrt(s))
+    rmin = jnp.minimum(r1, r2)
+    return jnp.where(far, 0.0,
+                     jnp.where(nested, jnp.pi * rmin * rmin, lens))
+
+
+def _neighbor_candidates(top_boxes: jax.Array, valid: jax.Array,
+                         M: int, iou_threshold: float = 0.0):
+    """Conservative overlap candidates: (nidx [K, M], sel [K, M], fits).
+
+    A pair can only be suppressor/victim when its IoU can exceed the
+    threshold, and the IoU of two rotated boxes is upper-bounded by the
+    IoU of their circumscribed circles (box ⊆ circumcircle on both
+    sides): ub = lens(d, r_a, r_b) / max(area_a, area_b, a+b-lens).
+    This prunes ~98% of pairs at NMS sizes — far tighter than the bare
+    center-distance gate once iou_threshold > 0.  Each row's first M
+    candidate columns are picked with one lane-axis sort of keys
+    ``col`` (candidate) / ``k+col`` (not) — sorts are near-free on TPU
+    where data-dependent searchsorted/scatter serialize.  ``fits`` is
+    False when some row has more than M candidates (callers fall back
+    to the exact full-matrix path)."""
+    k = top_boxes.shape[0]
+    centers = top_boxes[:, :2]
+    rad = 0.5 * jnp.hypot(top_boxes[:, 2], top_boxes[:, 3])
+    area = top_boxes[:, 2] * top_boxes[:, 3]
+    d = jnp.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
+    r1, r2 = rad[:, None], rad[None, :]
+    inter_ub = _circle_lens_area(d, r1, r2)
+    union_lb = jnp.maximum(jnp.maximum(area[:, None], area[None, :]),
+                           area[:, None] + area[None, :] - inter_ub)
+    iou_ub = inter_ub / jnp.maximum(union_lb, 1e-9)
+    # 1e-3 relative slack: the circle bound overestimates box IoU by a
+    # geometric margin, never by mere rounding — this keeps fp noise in
+    # the lens formula from ever pruning a true above-threshold pair
+    possible = (iou_ub > iou_threshold * 0.999) & valid[None, :] \
+        & valid[:, None]
+    possible = possible & ~jnp.eye(k, dtype=bool)
+    n_cand = jnp.sum(possible, axis=1)
+    fits = jnp.max(jnp.where(valid, n_cand, 0)) <= M
+    col = jnp.arange(k, dtype=jnp.int32)[None]
+    key = jnp.where(possible, col, k + col)
+    srt = jnp.sort(key, axis=1)[:, :M]              # ascending cols
+    sel = srt < k
+    return jnp.where(sel, srt, 0), sel, fits
+
+
+def rotate_nms_keep_batch(top_boxes: jax.Array, valid: jax.Array,
+                          iou_threshold, neighbor_cap: int = 64
+                          ) -> jax.Array:
+    """Batched exact greedy keep masks: [B, K, 5] x [B, K] -> [B, K].
+
+    One batch-level ``lax.cond``: when EVERY sample's candidate rows fit
+    the cap, the whole batch runs one flattened pruned fixpoint;
+    otherwise the whole batch runs the dense path.  (A per-sample cond
+    under vmap would lower to run-both-branches and always pay the
+    dense clip.)
+
+    TPU-shaped throughout:
+    - (sample, box) flattens to ONE row axis with per-sample index
+      offsets, so the candidate-box gather stays a single-level
+      [R, M]-from-[R] lookup (the same gather with a vmap batch
+      dimension serializes — measured 67 ms vs 1 ms at [8, 1000, 128]);
+    - the exact clip runs only on the [R, M] candidate pairs;
+    - the greedy fixpoint sweeps are batched matvecs on the MXU against
+      a dense suppressor matrix built by ONE scatter from the pruned
+      IoUs (a gather per sweep costs ~6 ms/sweep at this size; the
+      scatter is paid once)."""
+    B, k = top_boxes.shape[:2]
+    M = min(int(neighbor_cap), k)
+    nidx, sel, fits = jax.vmap(
+        lambda b, v: _neighbor_candidates(b, v, M, iou_threshold))(
+        top_boxes, valid)
+
+    def pruned(_):
+        offs = (jnp.arange(B, dtype=jnp.int32) * k)[:, None, None]
+        nidx_g = (nidx + offs).reshape(B * k, M)
+        flat_boxes = top_boxes.reshape(B * k, -1)
+        nboxes = flat_boxes[nidx_g]                      # [BK, M, 5]
+        iou_m = rotated_iou.rotate_iou_pairs(
+            jnp.broadcast_to(flat_boxes[:, None], nboxes.shape), nboxes)
+        iou_m = iou_m.reshape(B, k, M)
+        row = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+        sup_m = sel & (iou_m > iou_threshold) & (nidx < row)  # [B,k,M]
+        # dense suppressor tensor S[b, j, i] = 1 iff kept j suppresses i
+        # (out-of-range j for non-suppressor slots -> dropped)
+        b_ix = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, k, M))
+        i_ix = jnp.broadcast_to(row, (B, k, M))
+        j_ix = jnp.where(sup_m, nidx, k)
+        sup = jnp.zeros((B, k, k), jnp.float32).at[
+            b_ix, j_ix, i_ix].set(1.0, mode="drop")
+
+        def cond_f(state):
+            keep, prev, it = state
+            return jnp.any(keep != prev) & (it < k)
+
+        def body(state):
+            keep, _, it = state
+            suppressed = jnp.einsum(
+                "bj,bji->bi", keep.astype(jnp.float32), sup,
+                preferred_element_type=jnp.float32) > 0
+            return valid & ~suppressed, keep, it + 1
+
+        keep, _, _ = jax.lax.while_loop(
+            cond_f, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+        return keep
+
+    def full(_):
+        def one(b, v):
+            iou = rotated_iou.rotate_iou_matrix(b, b)
+            return _greedy_suppress(iou, v, iou_threshold)
+        return jax.lax.map(lambda bv: one(*bv), (top_boxes, valid))
+
+    return jax.lax.cond(jnp.all(fits), pruned, full, None)
+
+
+def _compact_keep(keep: jax.Array, top_idx: jax.Array,
+                  post_max_size: int):
+    """Kept score-order indices -> [post_max_size] slots (-1 pad)."""
+    kpos = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((post_max_size,), -1, jnp.int32)
+    out_idx = out_idx.at[jnp.where(keep & (kpos < post_max_size),
+                                   kpos, post_max_size)].set(
+        top_idx.astype(jnp.int32), mode="drop")
+    return out_idx, out_idx >= 0
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("pre_max_size", "post_max_size"))
+                   static_argnames=("pre_max_size", "post_max_size",
+                                    "neighbor_cap"))
+def rotate_nms_batch(boxes: jax.Array, scores: jax.Array,
+                     iou_threshold: float, pre_max_size: int,
+                     post_max_size: int, neighbor_cap: int = 128):
+    """Batched rotated NMS: [R, N, 5] x [R, N] -> ([R, post], [R, post]).
+
+    The whole batch shares one pruned-vs-dense decision
+    (:func:`rotate_nms_keep_batch`), so the candidate clip stays a
+    vmapped [R, K, M] pair job on the VPU instead of R serialized
+    dispatches."""
+    n = boxes.shape[1]
+    k = min(pre_max_size, n)
+    top_scores, top_idx = jax.vmap(lambda s: jax.lax.top_k(s, k))(scores)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    valid = top_scores > -jnp.inf
+    keep = rotate_nms_keep_batch(top_boxes, valid, iou_threshold,
+                                 neighbor_cap)
+    return jax.vmap(lambda ke, ti: _compact_keep(ke, ti, post_max_size))(
+        keep, top_idx)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pre_max_size", "post_max_size",
+                                    "neighbor_cap"))
 def rotate_nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
-               pre_max_size: int, post_max_size: int):
+               pre_max_size: int, post_max_size: int,
+               neighbor_cap: int = 128):
     """Rotated NMS.
 
     Args:
         boxes: [N, 5] (x,y,w,l,yaw); invalid boxes must carry score -inf.
         scores: [N].
+        neighbor_cap: max in-radius neighbors per box for the pruned
+            exact IoU (falls back to the full clip when exceeded).
 
     Returns:
         indices [post_max_size] into the input (-1 padding), and a
@@ -67,19 +237,9 @@ def rotate_nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     valid = top_scores > -jnp.inf
-    # row-blocked IoU: at pre_max_size=1000 the full pair set's clip
-    # temporaries would dominate HBM; blocks keep the peak at
-    # [row_block, K] while the stored matrix stays [K, K] f32
-    iou = rotated_iou.rotate_iou_matrix_blocked(top_boxes, top_boxes)
-    keep = _greedy_suppress(iou, valid, iou_threshold)
-    # compact kept indices (score order) into post_max_size slots
-    kpos = jnp.cumsum(keep) - 1
-    out_idx = jnp.full((post_max_size,), -1, jnp.int32)
-    out_idx = out_idx.at[jnp.where(keep & (kpos < post_max_size),
-                                   kpos, post_max_size)].set(
-        top_idx.astype(jnp.int32), mode="drop")
-    out_valid = out_idx >= 0
-    return out_idx, out_valid
+    keep = rotate_nms_keep_batch(top_boxes[None], valid[None],
+                                 iou_threshold, neighbor_cap)[0]
+    return _compact_keep(keep, top_idx, post_max_size)
 
 
 @functools.partial(jax.jit,
@@ -103,12 +263,7 @@ def nearest_nms(boxes_bev: jax.Array, scores: jax.Array, iou_threshold: float,
     union = area[:, None] + area[None, :] - inter
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
     keep = _greedy_suppress(iou, valid, iou_threshold)
-    kpos = jnp.cumsum(keep) - 1
-    out_idx = jnp.full((post_max_size,), -1, jnp.int32)
-    out_idx = out_idx.at[jnp.where(keep & (kpos < post_max_size),
-                                   kpos, post_max_size)].set(
-        top_idx.astype(jnp.int32), mode="drop")
-    return out_idx, out_idx >= 0
+    return _compact_keep(keep, top_idx, post_max_size)
 
 
 def rbbox_to_near_bbox(rbboxes: jax.Array) -> jax.Array:

@@ -39,8 +39,11 @@ def box_to_corners_ccw(boxes: jax.Array) -> jax.Array:
     return jnp.stack([x, y], axis=-1) + boxes[..., None, :2]
 
 
-def _take0(a, idx):
-    return jnp.take_along_axis(a, idx, axis=0)
+def _next_vertex(a, n, idx8):
+    """Cyclic successor of each valid slot, WITHOUT a data-dependent
+    gather (TPU gathers serialize): slot i's successor is slot i+1 when
+    still valid, else slot 0 — a static roll + select."""
+    return jnp.where(idx8 + 1 < n, jnp.roll(a, -1, axis=0), a[0][None])
 
 
 def _clip_halfplane_soa(px, py, n, ax, ay, bx, by):
@@ -54,8 +57,8 @@ def _clip_halfplane_soa(px, py, n, ax, ay, bx, by):
     rest = px.shape[1:]
     idx8 = jnp.arange(8).reshape((8,) + (1,) * len(rest))
     active = idx8 < n
-    nxt = jnp.where(idx8 + 1 < n, idx8 + 1, 0)
-    nxt_x, nxt_y = _take0(px, nxt), _take0(py, nxt)
+    nxt_x = _next_vertex(px, n, idx8)
+    nxt_y = _next_vertex(py, n, idx8)
     ex, ey = bx - ax, by - ay
     s_cur = ex * (py - ay) - ey * (px - ax)
     s_nxt = ex * (nxt_y - ay) - ey * (nxt_x - ax)
@@ -89,10 +92,43 @@ def _clip_halfplane_soa(px, py, n, ax, ay, bx, by):
 def _shoelace_soa(px, py, n):
     rest = px.shape[1:]
     idx8 = jnp.arange(8).reshape((8,) + (1,) * len(rest))
-    nxt = jnp.where(idx8 + 1 < n, idx8 + 1, 0)
-    cross = px * _take0(py, nxt) - _take0(px, nxt) * py
+    cross = (px * _next_vertex(py, n, idx8)
+             - _next_vertex(px, n, idx8) * py)
     area = 0.5 * jnp.sum(jnp.where(idx8 < n, cross, 0.0), axis=0)
     return jnp.maximum(area, 0.0)
+
+
+@jax.jit
+def intersection_area_pairs(boxes_a: jax.Array,
+                            boxes_b: jax.Array) -> jax.Array:
+    """Matched-pair rotated intersection areas: [..., 5] x [..., 5] ->
+    [...] (elementwise over leading dims, no cross product)."""
+    rest = boxes_a.shape[:-1]
+    ca = box_to_corners_ccw(boxes_a)    # [..., 4, 2]
+    cb = box_to_corners_ccw(boxes_b)
+    # [8, ...] slot-major planes
+    move = lambda a: jnp.moveaxis(a, -1, 0)          # noqa: E731
+    px = jnp.concatenate([move(ca[..., 0]),
+                          jnp.zeros((4,) + rest, ca.dtype)], 0)
+    py = jnp.concatenate([move(ca[..., 1]),
+                          jnp.zeros((4,) + rest, ca.dtype)], 0)
+    n = jnp.full(rest, 4, jnp.int32)
+    for k in range(4):
+        a = cb[..., k, :]
+        b = cb[..., (k + 1) % 4, :]
+        px, py, n = _clip_halfplane_soa(
+            px, py, n, a[..., 0], a[..., 1], b[..., 0], b[..., 1])
+    return _shoelace_soa(px, py, n)
+
+
+@jax.jit
+def rotate_iou_pairs(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """Matched-pair rotated IoU: [..., 5] x [..., 5] -> [...]."""
+    inter = intersection_area_pairs(boxes_a, boxes_b)
+    area_a = boxes_a[..., 2] * boxes_a[..., 3]
+    area_b = boxes_b[..., 2] * boxes_b[..., 3]
+    denom = area_a + area_b - inter
+    return jnp.where(denom > 0, inter / jnp.maximum(denom, 1e-12), 0.0)
 
 
 @jax.jit

@@ -221,8 +221,10 @@ class TestVoxelizeFastPath:
                                       np.asarray(res.num_points[:nv])[order_jax])
         np.testing.assert_array_equal(v_np[order_ref],
                                       np.asarray(res.voxels[:nv])[order_jax])
-        # key order => coords keys ascending
-        assert (np.diff(k_jax) > 0).all()
+        # key order => depth-minor (y, x, z) keys ascending
+        cj = np.asarray(res.coords[:nv]).astype(np.int64)
+        k_dm = (cj[:, 1] * 10_000_00 + cj[:, 2]) * 1000 + cj[:, 0]
+        assert (np.diff(k_dm) > 0).all()
 
     def test_keyorder_padded_and_empty(self):
         vs, pr = (0.5, 0.5, 0.5), (0, 0, 0, 8, 8, 8)
@@ -281,3 +283,59 @@ class TestFixpointNmsChains:
             pre_max_size=n, post_max_size=n)
         keep_j = np.asarray(idx_j)[np.asarray(valid_j)]
         np.testing.assert_array_equal(keep_j, keep_np)
+
+
+class TestNeighborPrunedNms:
+    def _boxes(self, rng, n, spread=60.0):
+        return np.stack([rng.uniform(0, spread, n),
+                         rng.uniform(-spread / 2, spread / 2, n),
+                         rng.uniform(1, 4, n), rng.uniform(1, 4, n),
+                         rng.uniform(-np.pi, np.pi, n)],
+                        1).astype(np.float32)
+
+    def test_pruned_matches_oracle(self):
+        rng = np.random.default_rng(31)
+        boxes = self._boxes(rng, 400)
+        scores = rng.uniform(0, 1, 400).astype(np.float32)
+        keep_np = nms_np.rotate_nms(boxes, scores, 0.3)
+        idx, valid = nms_jax.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+            pre_max_size=400, post_max_size=400)
+        keep_j = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(keep_j, keep_np)
+
+    def test_overflow_falls_back_to_full_and_stays_exact(self):
+        # 60 boxes crammed into a 6m disc: every row has > neighbor_cap
+        # in-radius neighbors with a tiny cap -> full-matrix fallback
+        rng = np.random.default_rng(32)
+        n = 60
+        boxes = np.stack([rng.uniform(0, 6, n), rng.uniform(0, 6, n),
+                          rng.uniform(2, 4, n), rng.uniform(2, 4, n),
+                          rng.uniform(-np.pi, np.pi, n)],
+                         1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep_np = nms_np.rotate_nms(boxes, scores, 0.4)
+        idx, valid = nms_jax.rotate_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.4,
+            pre_max_size=n, post_max_size=n, neighbor_cap=4)
+        keep_j = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(keep_j, keep_np)
+
+    def test_pruned_keep_matches_full_keep(self):
+        rng = np.random.default_rng(33)
+        boxes = jnp.asarray(self._boxes(rng, 200))
+        valid = jnp.ones((200,), bool)
+        pruned = np.asarray(
+            nms_jax.rotate_nms_keep_batch(boxes[None], valid[None],
+                                          0.3, 64)[0])
+        full_iou = rotated_iou.rotate_iou_matrix(boxes, boxes)
+        full = np.asarray(nms_jax._greedy_suppress(full_iou, valid, 0.3))
+        np.testing.assert_array_equal(pruned, full)
+
+    def test_pair_iou_matches_matrix_diag(self):
+        rng = np.random.default_rng(34)
+        a = jnp.asarray(self._boxes(rng, 128, spread=10.0))
+        b = jnp.asarray(self._boxes(rng, 128, spread=10.0))
+        pairs = np.asarray(rotated_iou.rotate_iou_pairs(a, b))
+        mat = np.asarray(rotated_iou.rotate_iou_matrix(a, b))
+        np.testing.assert_allclose(pairs, np.diagonal(mat), atol=2e-4)
