@@ -472,6 +472,51 @@ def strided_sparse_conv(features: jax.Array, layout: StridedSparseLayout,
     return out.astype(features.dtype)
 
 
+def sparse_max_pool(features: jax.Array,
+                    layout: StridedSparseLayout) -> jax.Array:
+    """Sparse max-pool over a strided window layout: [N, Cin] -> [M, Cin].
+
+    spconv-maxpool semantics [ref: spconv/src/spconv/maxpool.cu —
+    lineage-expected, UNVERIFIED]: each output site (any window with >=1
+    active input — the same site set a strided conv produces) takes the
+    max over its ACTIVE inputs only; empty cells contribute nothing
+    (not zero).  One gather + a tap-axis max — no MXU work."""
+    gathered = jnp.where(layout.found[:, :, None],
+                         features[layout.gather_idx],
+                         -jnp.inf)                       # [T, M, Cin]
+    out = jnp.max(gathered, axis=0)
+    any_found = jnp.any(layout.found, axis=0) & layout.out_valid
+    return jnp.where(any_found[:, None], out, 0.0).astype(features.dtype)
+
+
+def inverse_sparse_conv(features: jax.Array, layout: StridedSparseLayout,
+                        weights: jax.Array, num_in: int,
+                        bias: jax.Array | None = None) -> jax.Array:
+    """Inverse (transposed) sparse conv through a SAVED strided layout:
+    [M, Cd] at the downsampled sites -> [num_in, Cu] at the original
+    pre-downsample active sites.
+
+    spconv-SparseInverseConv semantics [ref: spconv/python/spconv —
+    lineage-expected, UNVERIFIED]: the adjoint of the strided gather —
+    up-site i receives sum over (tap t, down-site m) with
+    ``gather_idx[t, m] == i`` of ``features[m] @ weights[t]``.  Exactly
+    the transpose of :func:`strided_sparse_conv`'s linear map, expressed
+    as per-tap GEMMs (MXU) + one scatter-add.
+
+    weights: [T, Cd, Cu] (tap order matches the layout's rulebook)."""
+    T, Cd, Cu = weights.shape
+    prod = jnp.einsum("mc,tcu->tmu", features.astype(jnp.float32),
+                      weights.astype(jnp.float32))       # [T, M, Cu]
+    mask = layout.found & layout.out_valid[None, :]
+    idx = jnp.where(mask, layout.gather_idx, num_in)     # dump slot
+    out = jnp.zeros((num_in + 1, Cu), jnp.float32).at[
+        idx.reshape(-1)].add(
+        jnp.where(mask[..., None], prod, 0.0).reshape(-1, Cu))[:num_in]
+    if bias is not None:
+        out = out + bias
+    return out.astype(features.dtype)
+
+
 def scatter_to_bev(features: jax.Array, coords: jax.Array, valid: jax.Array,
                    grid_dhw: Tuple[int, int, int]) -> jax.Array:
     """[N, C] sparse -> dense BEV [H, W, D*C] (depth folded into channels —

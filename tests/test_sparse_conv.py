@@ -190,3 +190,74 @@ class TestLutBuilders:
         b = sc.build_submanifold_rulebook_lut(coords, valid, GRID, (3, 3, 3))
         np.testing.assert_array_equal(fo, np.asarray(b.found))
         np.testing.assert_array_equal(gi[fo], np.asarray(b.gather_idx)[fo])
+
+
+class TestMaxPoolAndInverse:
+    @pytest.mark.parametrize("kernel,stride", [
+        ((3, 3, 3), (2, 2, 2)),
+        ((2, 2, 2), (2, 2, 2)),
+    ])
+    def test_max_pool_matches_dense(self, kernel, stride):
+        rng = np.random.default_rng(4)
+        feats, coords, valid = random_sparse(rng)
+        pad = tuple(k // 2 for k in kernel)
+        layout = sc.build_strided_layout(coords, valid, GRID, kernel,
+                                         stride, pad, max_out=256)
+        out = sc.sparse_max_pool(feats, layout)
+
+        # dense oracle: -inf at empty cells (spconv maxes over ACTIVE
+        # inputs only — empty cells contribute nothing, not zero)
+        dense = np.full(GRID + (feats.shape[-1],), -np.inf, np.float32)
+        cz, cy, cx = np.asarray(coords).T
+        v = np.asarray(valid)
+        dense[cz[v], cy[v], cx[v]] = np.asarray(feats)[v]
+        dp = [(p, p) for p in pad]
+        ref = np.asarray(jax.lax.reduce_window(
+            jnp.asarray(dense), -jnp.inf, jax.lax.max,
+            kernel + (1,), stride + (1,), dp + [(0, 0)]))
+        oc = np.asarray(layout.out_coords)
+        ov = np.asarray(layout.out_valid)
+        np.testing.assert_allclose(
+            np.asarray(out)[ov], ref[oc[ov, 0], oc[ov, 1], oc[ov, 2]],
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out)[~ov], 0)
+
+    def test_inverse_conv_matches_dense_transpose(self):
+        rng = np.random.default_rng(5)
+        feats, coords, valid = random_sparse(rng, cin=4)
+        kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+        layout = sc.build_strided_layout(coords, valid, GRID, kernel,
+                                         stride, pad, max_out=256)
+        cd, cu = 6, 4
+        wd = jnp.asarray(rng.normal(size=(27, 4, cd)).astype(np.float32))
+        down = sc.strided_sparse_conv(feats, layout, wd)     # [M, cd]
+        wu = jnp.asarray(rng.normal(size=(27, cd, cu)).astype(np.float32))
+        up = sc.inverse_sparse_conv(down, layout, wu,
+                                    num_in=feats.shape[0])
+
+        # dense transpose-conv oracle: out[i] = sum over (o, t) with
+        # o*s + t - p == i of down[o] @ wu[t]
+        D, H, W = GRID
+        og = tuple((g + 2 * p - k) // s + 1
+                   for g, p, k, s in zip(GRID, pad, kernel, stride))
+        dense_down = np.zeros(og + (cd,), np.float32)
+        oc = np.asarray(layout.out_coords)
+        ov = np.asarray(layout.out_valid)
+        dense_down[oc[ov, 0], oc[ov, 1], oc[ov, 2]] = np.asarray(down)[ov]
+        ref = np.zeros((D, H, W, cu), np.float32)
+        wun = np.asarray(wu).reshape(3, 3, 3, cd, cu)
+        for o in np.argwhere(dense_down.any(-1)):
+            for tz in range(3):
+                for ty in range(3):
+                    for tx in range(3):
+                        i = (o[0] * 2 + tz - 1, o[1] * 2 + ty - 1,
+                             o[2] * 2 + tx - 1)
+                        if all(0 <= i[d] < GRID[d] for d in range(3)):
+                            ref[i] += dense_down[tuple(o)] @ wun[tz, ty, tx]
+        cz, cy, cx = np.asarray(coords).T
+        v = np.asarray(valid)
+        np.testing.assert_allclose(
+            np.asarray(up)[v], ref[cz[v], cy[v], cx[v]],
+            rtol=1e-4, atol=1e-4)
+        # padding rows stay zero
+        np.testing.assert_array_equal(np.asarray(up)[~v], 0)
