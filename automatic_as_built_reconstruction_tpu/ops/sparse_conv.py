@@ -232,6 +232,63 @@ def build_submanifold_rulebook_lut(coords: jax.Array, valid: jax.Array,
     return SubmanifoldRulebook(gather_idx, found)
 
 
+def _merge_lookup(in_keys: jax.Array, q_keys: jax.Array):
+    """Batch hash-join on TPU terms: for each query key, the row index of
+    the matching in-key (keys unique among valid; _INT32_MAX = invalid).
+
+    ONE combined sort + a cummax propagation + ONE unscatter sort —
+    O((N+Q) log) fully-vectorized lanes.  This replaces both the
+    per-query ``searchsorted`` (binary-search gathers serialize on TPU:
+    ~50 ms for 442k queries vs 9.8 ms for this join at FHD block-0
+    scale) and the dense [D*H*W] LUT (370 MB of table traffic per
+    example at the KITTI-FHD grid).  Packed-key single-payload and
+    scatter-unscatter variants were measured SLOWER on v5e (14.6 /
+    19.1 ms) — multi-operand sorts are cheap, random scatters are not.
+
+    Returns (idx [Q] int32, hit [Q] bool)."""
+    N, Q = in_keys.shape[0], q_keys.shape[0]
+    T = N + Q
+    pos = jnp.arange(T, dtype=jnp.int32)
+    keys = jnp.concatenate([in_keys, q_keys])
+    tag = jnp.concatenate([jnp.zeros((N,), jnp.int32),
+                           jnp.ones((Q,), jnp.int32)])   # ties: in first
+    payload = jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                               jnp.full((Q,), -1, jnp.int32)])
+    qid = jnp.concatenate([jnp.full((N,), T, jnp.int32),
+                           jnp.arange(Q, dtype=jnp.int32)])
+    sk, _, sp, sq = jax.lax.sort((keys, tag, payload, qid), num_keys=2)
+    last_in = jax.lax.cummax(jnp.where(sp >= 0, pos, -1))
+    safe = jnp.maximum(last_in, 0)
+    hit_sorted = ((last_in >= 0) & (sk[safe] == sk)
+                  & (sk != _INT32_MAX)).astype(jnp.int32)
+    idx_sorted = sp[safe]
+    # back to query order: sort by qid (in-rows carry qid=T -> tail)
+    _, idx_q, hit_q = jax.lax.sort((sq, idx_sorted, hit_sorted),
+                                   num_keys=1)
+    return jnp.maximum(idx_q[:Q], 0), hit_q[:Q].astype(bool)
+
+
+def build_submanifold_rulebook_merge(
+        coords: jax.Array, valid: jax.Array,
+        grid_dhw: Tuple[int, int, int],
+        kernel_size: Tuple[int, int, int] = (3, 3, 3)
+) -> SubmanifoldRulebook:
+    """Merge-join rulebook — same outputs as
+    :func:`build_submanifold_rulebook`, one combined sort instead of a
+    per-tap binary search (~5x faster: TPU random gathers serialize) or
+    a grid-sized table (within ~20% of the LUT builder's speed with none
+    of its [D*H*W] HBM footprint; grid-size independent)."""
+    N = coords.shape[0]
+    offsets = jnp.asarray(_offsets(kernel_size), jnp.int32)
+    K = offsets.shape[0]
+    in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
+    q = jax.vmap(lambda off: jnp.where(
+        valid, linearize(coords + off[None, :], grid_dhw),
+        _INT32_MAX))(offsets)                            # [K, N]
+    idx, hit = _merge_lookup(in_keys, q.reshape(-1))
+    return SubmanifoldRulebook(idx.reshape(K, N), hit.reshape(K, N))
+
+
 def submanifold_conv(features: jax.Array, rulebook: SubmanifoldRulebook,
                      weights: jax.Array, bias: jax.Array | None = None,
                      valid: jax.Array | None = None,
@@ -440,6 +497,77 @@ def build_strided_layout_lut(coords: jax.Array, valid: jax.Array,
     gather_idx, found = jax.vmap(one_tap)(taps)
     return StridedSparseLayout(out_coords, out_valid, gather_idx, found,
                                num_out)
+
+
+def build_strided_layout_merge(coords: jax.Array, valid: jax.Array,
+                               grid_dhw: Tuple[int, int, int],
+                               kernel_size: Tuple[int, int, int],
+                               stride: Tuple[int, int, int],
+                               padding: Tuple[int, int, int],
+                               max_out: int) -> StridedSparseLayout:
+    """Merge-join twin of :func:`build_strided_layout`: the sort-based
+    output-site construction is kept (it is already one small sort of
+    the C*N candidate keys), and the per-tap ``searchsorted`` rulebook
+    lookup is replaced by ONE :func:`_merge_lookup` over all T*max_out
+    queries.  Grid-size independent — no [D*H*W] tables."""
+    N = coords.shape[0]
+    s = np.asarray(stride)
+    p = np.asarray(padding)
+    k = np.asarray(kernel_size)
+    out_grid = tuple(int((g + 2 * pp - kk) // ss + 1)
+                     for g, pp, kk, ss in zip(grid_dhw, p, k, s))
+    sj = jnp.asarray(s, jnp.int32)
+    pj = jnp.asarray(p, jnp.int32)
+    kj = jnp.asarray(k, jnp.int32)
+
+    n_cand = [int(-(-kk // ss)) for kk, ss in zip(k, s)]
+    deltas = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
+                                  indexing="ij"), -1).reshape(-1, 3)
+    deltas = jnp.asarray(deltas, jnp.int32)
+
+    def candidates(dlt):
+        o = (coords + pj[None, :]) // sj[None, :] - dlt[None, :]
+        lo = coords + pj[None, :] - kj[None, :] + 1
+        ok = valid & ((o * sj[None, :] >= lo)
+                      & (o * sj[None, :] <= coords + pj[None, :])).all(-1)
+        okey = linearize(o, out_grid)
+        return jnp.where(ok, okey, _INT32_MAX)
+
+    cand_keys = jax.vmap(candidates)(deltas).reshape(-1)    # [C*N]
+    skeys = jnp.sort(cand_keys)
+    first = jnp.concatenate(
+        [jnp.array([True]), skeys[1:] != skeys[:-1]]) & (skeys != _INT32_MAX)
+    pos_out = jnp.cumsum(first) - 1
+    out_keys = jnp.full((max_out + 1,), _INT32_MAX, jnp.int32)
+    out_keys = out_keys.at[
+        jnp.where(first & (pos_out < max_out), pos_out, max_out)
+    ].set(skeys, mode="drop")[:max_out]
+    num_out = jnp.minimum(jnp.sum(first), max_out).astype(jnp.int32)
+    out_valid = jnp.arange(max_out) < num_out
+    oD, oW = out_grid[0], out_grid[2]
+    oy = out_keys // (oW * oD)
+    ox = (out_keys // oD) % oW
+    oz = out_keys % oD
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)
+
+    taps = np.stack(np.meshgrid(*[np.arange(kk) for kk in k],
+                                indexing="ij"), -1).reshape(-1, 3)
+    taps = jnp.asarray(taps, jnp.int32)
+    T = taps.shape[0]
+    in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
+
+    def tap_queries(off):
+        icoords = out_coords * sj[None, :] + off[None, :] - pj[None, :]
+        return jnp.where(out_valid, linearize(icoords, grid_dhw),
+                         _INT32_MAX)
+
+    q = jax.vmap(tap_queries)(taps)                     # [T, max_out]
+    idx, hit = _merge_lookup(in_keys, q.reshape(-1))
+    return StridedSparseLayout(out_coords, out_valid,
+                               idx.reshape(T, max_out),
+                               hit.reshape(T, max_out), num_out)
 
 
 def strided_sparse_conv(features: jax.Array, layout: StridedSparseLayout,

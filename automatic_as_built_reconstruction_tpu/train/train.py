@@ -143,8 +143,16 @@ def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):
                 example["voxels"], example["num_points"],
                 example["coordinates"], train=True,
                 middle_rulebooks=books,
-                mutable=["batch_stats"])
+                mutable=["batch_stats", "intermediates"])
             loss, metrics = voxelnet_mod.compute_loss(preds, example, cfg)
+            # sparse-middle capacity-overflow telemetry (middle.py sows
+            # one saturation count per strided block)
+            sat = [v for p, v in jax.tree_util.tree_leaves_with_path(
+                mut.get("intermediates", {}))
+                   if "capacity_saturated" in jax.tree_util.keystr(p)]
+            if sat:
+                metrics["mid_capacity_saturated"] = sum(
+                    jnp.sum(s) for s in sat)
             flat = voxelnet_mod._flatten_preds(preds, cfg)
             pr = metrics_mod.precision_recall_counts(
                 jax.lax.stop_gradient(flat["cls_preds"]),

@@ -338,7 +338,7 @@ def bench_second_fhd(jax, jnp) -> dict:
 
 def _device_rulebooks(jax, jnp, coords0, plan):
     """Build the middle stack's rulebooks for one scan with the on-device
-    LUT builders and pull them to host — telemetry inputs for
+    merge-join builders and pull them to host — telemetry inputs for
     choose_window/pallas_fits.  Entries are (gather_idx, found,
     table_rows): the feature table a book gathers from is the block's
     INPUT capacity (strided books index the pre-downsample table)."""
@@ -349,11 +349,12 @@ def _device_rulebooks(jax, jnp, coords0, plan):
     valid = coords[..., 0] >= 0
     for blk in plan:
         if blk.n_subm > 0:
-            rb = jax.jit(lambda c, v, b=blk: sc.build_submanifold_rulebook_lut(
-                c, v, b.grid, b.subm_kernel))(coords, valid)
+            rb = jax.jit(lambda c, v, b=blk:
+                         sc.build_submanifold_rulebook_merge(
+                             c, v, b.grid, b.subm_kernel))(coords, valid)
             books.append((np.asarray(rb.gather_idx),
                           np.asarray(rb.found), blk.in_cap))
-        layout = jax.jit(lambda c, v, b=blk: sc.build_strided_layout_lut(
+        layout = jax.jit(lambda c, v, b=blk: sc.build_strided_layout_merge(
             c, v, b.grid, b.kernel, b.stride, b.pad,
             b.out_cap))(coords, valid)
         books.append((np.asarray(layout.gather_idx),

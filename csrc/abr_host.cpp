@@ -96,12 +96,19 @@ int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
   const int64_t gy = (int64_t)std::round((coors_range[4] - y0) / vy);
   const int64_t gz = (int64_t)std::round((coors_range[5] - z0) / vz);
 
+  // Slots grow past max_voxels: on overflow the SMALLEST-key voxels are
+  // kept (key order == the sorted output order), matching the device
+  // twin's selection (ops/voxelize_jax.py first_appearance=False keeps
+  // the lowest sort keys) so host/device parity holds on overflow scans
+  // too, not just when the scan fits.
   std::unordered_map<int64_t, int32_t> key_to_slot;
   key_to_slot.reserve((size_t)std::min<int64_t>(P, max_voxels) * 2);
   std::vector<int64_t> slot_key;
   slot_key.reserve(max_voxels);
-  std::vector<double> sums((size_t)max_voxels * C, 0.0);
-  std::vector<int32_t> cnt((size_t)max_voxels, 0);
+  std::vector<double> sums;
+  sums.reserve((size_t)max_voxels * C);
+  std::vector<int32_t> cnt;
+  cnt.reserve(max_voxels);
 
   for (int64_t i = 0; i < P; ++i) {
     const float* p = points + i * C;
@@ -115,10 +122,11 @@ int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
     auto it = key_to_slot.find(key);
     int32_t s;
     if (it == key_to_slot.end()) {
-      if ((int64_t)slot_key.size() >= max_voxels) continue;
       s = (int32_t)slot_key.size();
       key_to_slot.emplace(key, s);
       slot_key.push_back(key);
+      sums.resize(sums.size() + C, 0.0);
+      cnt.push_back(0);
     } else {
       s = it->second;
     }
@@ -128,12 +136,13 @@ int abr_voxelize_sorted_mean(const float* points, int64_t P, int64_t C,
     }
   }
 
-  const int64_t nv = (int64_t)slot_key.size();
-  std::vector<int32_t> order(nv);
-  for (int64_t s = 0; s < nv; ++s) order[s] = (int32_t)s;
+  const int64_t nv_all = (int64_t)slot_key.size();
+  std::vector<int32_t> order(nv_all);
+  for (int64_t s = 0; s < nv_all; ++s) order[s] = (int32_t)s;
   std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
     return slot_key[a] < slot_key[b];
   });
+  const int64_t nv = std::min<int64_t>(nv_all, max_voxels);
 
   for (int64_t o = 0; o < nv; ++o) {
     const int32_t s = order[o];

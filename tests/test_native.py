@@ -87,7 +87,10 @@ class TestVoxelizeSortedMean:
         pts = np.concatenate([
             rng.uniform(0, 16, (3000, 2)), rng.uniform(0, 4, (3000, 1)),
             rng.random((3000, 1))], axis=1).astype(np.float32)
-        vs, cr, T, V = (0.5, 0.5, 0.5), (0, 0, 0, 16, 16, 4), 5, 256
+        # V large enough that nothing overflows: FCFS and smallest-key
+        # selection agree exactly on fitting scans (overflow selection is
+        # covered by test_overflow_keeps_smallest_keys)
+        vs, cr, T, V = (0.5, 0.5, 0.5), (0, 0, 0, 16, 16, 4), 5, 4096
         means, coords, counts, nv = native.voxelize_sorted_mean(
             pts, vs, cr, T, V)
         # reference: FCFS hard voxelize then capped mean, re-sorted by key
@@ -110,3 +113,37 @@ class TestVoxelizeSortedMean:
               * gz + coords[:nv, 0])
         assert (np.diff(k2) > 0).all()
         assert (coords[nv:] == -1).all() and (counts[nv:] == 0).all()
+
+    def test_overflow_keeps_smallest_keys(self):
+        """On voxel-count overflow the kernel keeps the SMALLEST-key
+        voxels — the same subset the device twin
+        (ops/voxelize_jax.voxelize first_appearance=False) selects, so
+        host/device parity holds on overflow scans too (round-2 advisor
+        finding)."""
+        from automatic_as_built_reconstruction_tpu import native
+        if not native.AVAILABLE:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(5)
+        pts = np.concatenate([
+            rng.uniform(0, 16, (4000, 2)), rng.uniform(0, 4, (4000, 1)),
+            rng.random((4000, 1))], axis=1).astype(np.float32)
+        vs, cr, T = (0.5, 0.5, 0.5), (0, 0, 0, 16, 16, 4), 5
+        # full run to learn the true voxel count, then overflow it
+        _, coords_full, counts_full, nv_full = native.voxelize_sorted_mean(
+            pts, vs, cr, T, 4096)
+        V = nv_full // 2
+        means, coords, counts, nv = native.voxelize_sorted_mean(
+            pts, vs, cr, T, V)
+        assert nv == V
+        # the kept voxels are exactly the V smallest keys of the full run
+        np.testing.assert_array_equal(coords[:V], coords_full[:V])
+        np.testing.assert_array_equal(counts[:V], counts_full[:V])
+        # and the device twin picks the same subset
+        jax = pytest.importorskip("jax")
+        import jax.numpy as jnp
+        from automatic_as_built_reconstruction_tpu.ops import voxelize_jax
+        r = voxelize_jax.voxelize(
+            jnp.asarray(pts), jnp.int32(len(pts)), voxel_size=vs,
+            pc_range=cr, grid_size=(32, 32, 8), max_points=T,
+            max_voxels=V, first_appearance=False)
+        np.testing.assert_array_equal(np.asarray(r.coords), coords[:V])

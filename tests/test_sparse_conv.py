@@ -192,6 +192,63 @@ class TestLutBuilders:
         np.testing.assert_array_equal(gi[fo], np.asarray(b.gather_idx)[fo])
 
 
+class TestMergeBuilders:
+    """Merge-join rulebook/layout builders == sort-based builders."""
+
+    @pytest.mark.parametrize("kernel", [(3, 3, 3), (1, 3, 3)])
+    def test_subm_merge_matches_sort(self, kernel):
+        rng = np.random.default_rng(17)
+        _, coords, valid = random_sparse(rng)
+        a = sc.build_submanifold_rulebook(coords, valid, GRID, kernel)
+        b = sc.build_submanifold_rulebook_merge(coords, valid, GRID, kernel)
+        np.testing.assert_array_equal(np.asarray(a.found),
+                                      np.asarray(b.found))
+        fa = np.asarray(a.found)
+        np.testing.assert_array_equal(np.asarray(a.gather_idx)[fa],
+                                      np.asarray(b.gather_idx)[fa])
+
+    @pytest.mark.parametrize("stride", [(2, 2, 2), (2, 1, 1), (1, 2, 2)])
+    def test_strided_merge_matches_sort(self, stride):
+        rng = np.random.default_rng(18)
+        _, coords, valid = random_sparse(rng)
+        kernel, pad, max_out = (3, 3, 3), (1, 1, 1), 128
+        a = sc.build_strided_layout(coords, valid, GRID, kernel, stride,
+                                    pad, max_out)
+        b = sc.build_strided_layout_merge(coords, valid, GRID, kernel,
+                                          stride, pad, max_out)
+        assert int(a.num_out) == int(b.num_out)
+        np.testing.assert_array_equal(np.asarray(a.out_coords),
+                                      np.asarray(b.out_coords))
+        np.testing.assert_array_equal(np.asarray(a.out_valid),
+                                      np.asarray(b.out_valid))
+        np.testing.assert_array_equal(np.asarray(a.found),
+                                      np.asarray(b.found))
+        fa = np.asarray(a.found)
+        np.testing.assert_array_equal(np.asarray(a.gather_idx)[fa],
+                                      np.asarray(b.gather_idx)[fa])
+
+    def test_strided_merge_out_capacity_clamps(self):
+        rng = np.random.default_rng(19)
+        _, coords, valid = random_sparse(rng)
+        small = sc.build_strided_layout_merge(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), 8)
+        full = sc.build_strided_layout_merge(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), 256)
+        assert int(small.num_out) == 8
+        np.testing.assert_array_equal(np.asarray(small.out_coords),
+                                      np.asarray(full.out_coords)[:8])
+
+    def test_merge_all_invalid(self):
+        coords = jnp.zeros((16, 3), jnp.int32)
+        valid = jnp.zeros((16,), bool)
+        rb = sc.build_submanifold_rulebook_merge(coords, valid, GRID)
+        assert not bool(np.asarray(rb.found).any())
+        lay = sc.build_strided_layout_merge(
+            coords, valid, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), 8)
+        assert int(lay.num_out) == 0
+        assert not bool(np.asarray(lay.found).any())
+
+
 class TestMaxPoolAndInverse:
     @pytest.mark.parametrize("kernel,stride", [
         ((3, 3, 3), (2, 2, 2)),
