@@ -156,6 +156,14 @@ class SparseMiddle(nn.Module):
     # over-span tiles silently fall back to XLA (check sgg.pallas_fits)
     pallas_tile: int = 256
     pallas_window: int = 768
+    # key-match serving mode: skip building rulebooks entirely — the
+    # Pallas kernel joins sorted input keys against per-tap query keys
+    # with an in-VMEM equality compare (sgg.keymatch_gemm).  The only
+    # remaining per-scan construction is the strided blocks' output-SITE
+    # sort.  Requires use_pallas_gemm; ignored when host rulebooks are
+    # supplied.  ~0 rulebook cost vs ~27 ms/scan for the merge builders
+    # at FHD scale.
+    use_keymatch: bool = False
     # HBM budget for the on-device LUT rulebook builders: each builder
     # materializes a [D*H*W] int32 table PER EXAMPLE under vmap (~370 MB
     # at the 41x1600x1408 FHD grid), so batch * cells * 4 bytes of
@@ -193,11 +201,36 @@ class SparseMiddle(nn.Module):
         cur_coords = coords
         valid = coords[..., 0] >= 0
         cin = F
+        use_km = (self.use_keymatch and self.use_pallas_gemm
+                  and rulebooks is None)
 
         for bi, blk in enumerate(self.plan(V)):
             # submanifold stack (shared rulebook per block)
+            rb = layout = sites = None
+            qk_subm = qk_str = in_keys = None
             if rulebooks is not None:
                 rb, layout = rulebooks[bi]
+            elif use_km:
+                # no rulebooks at all: the kernel joins keys in-VMEM.
+                # linearize maps padding (-1 coords) to INT32_MAX, which
+                # both the window decision and the kernel treat as
+                # no-query/no-match sentinels.
+                in_keys = jax.vmap(
+                    functools.partial(sc.linearize,
+                                      grid_dhw=blk.grid))(cur_coords)
+                if blk.n_subm > 0:
+                    qk_subm = jax.vmap(functools.partial(
+                        sc.subm_tap_keys, grid_dhw=blk.grid,
+                        kernel_size=blk.subm_kernel))(cur_coords, valid)
+                sites = jax.vmap(functools.partial(
+                    sc.build_strided_sites, grid_dhw=blk.grid,
+                    kernel_size=blk.kernel, stride=blk.stride,
+                    padding=blk.pad,
+                    max_out=blk.out_cap))(cur_coords, valid)
+                qk_str = jax.vmap(functools.partial(
+                    sc.strided_tap_keys, grid_in=blk.grid,
+                    kernel_size=blk.kernel, stride=blk.stride,
+                    padding=blk.pad))(sites)
             else:
                 # merge-join on-device construction: one combined sort +
                 # cummax per rulebook — grid-size independent (no
@@ -222,7 +255,16 @@ class SparseMiddle(nn.Module):
             for li in range(blk.n_subm):
                 w = self._conv_params(f"b{bi}_subm{li}", k_subm, cin,
                                       blk.subm_channels)
-                if self.use_pallas_gemm:
+                if use_km:
+                    wd = w.astype(self.dtype)
+                    feats = jax.lax.map(
+                        lambda a: sgg.keymatch_gemm(
+                            a[0], a[1], a[2], wd, None,
+                            self.pallas_tile, self.pallas_window),
+                        (feats, in_keys, qk_subm))
+                    feats = jnp.where(valid[..., None], feats, 0.0).astype(
+                        self.dtype)
+                elif self.use_pallas_gemm:
                     # lax.map, not vmap: the kernel wrapper's lax.cond
                     # (pallas vs XLA fallback) must stay a cond — vmap
                     # would lower it to a both-branches select
@@ -245,28 +287,42 @@ class SparseMiddle(nn.Module):
             # strided downsample conv
             k_down = int(np.prod(blk.kernel))
             w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
-            if self.use_pallas_gemm:
+            if use_km:
+                wd = w.astype(self.dtype)
+                feats = jax.lax.map(
+                    lambda a: sgg.keymatch_gemm(
+                        a[0], a[1], a[2], wd, None,
+                        self.pallas_tile, self.pallas_window),
+                    (feats, in_keys, qk_str))
+                out_valid, out_coords = sites.out_valid, sites.out_coords
+                num_out = sites.num_out
+                feats = jnp.where(out_valid[..., None], feats,
+                                  0.0).astype(self.dtype)
+            elif self.use_pallas_gemm:
                 wd = w.astype(self.dtype)
                 feats = jax.lax.map(
                     lambda a: sgg.gather_gemm(
                         a[0], a[1], a[2], wd, None,
                         self.pallas_tile, self.pallas_window),
                     (feats, layout.gather_idx, layout.found))
-                feats = jnp.where(layout.out_valid[..., None], feats,
+                out_valid, out_coords = layout.out_valid, layout.out_coords
+                num_out = layout.num_out
+                feats = jnp.where(out_valid[..., None], feats,
                                   0.0).astype(self.dtype)
             else:
                 feats = jax.vmap(sc.strided_sparse_conv,
                                  in_axes=(0, 0, None))(feats, layout,
                                                        w.astype(self.dtype))
+                out_valid, out_coords = layout.out_valid, layout.out_coords
+                num_out = layout.num_out
             # overflow telemetry: a block whose active-site count hit its
             # static capacity has (almost surely) truncated real sites —
             # surfaced into training metrics (train.py) so capacity_shrink
             # regressions are visible instead of silently eating recall
             self.sow("intermediates", f"b{bi}_capacity_saturated",
-                     jnp.sum((layout.num_out >= blk.out_cap)
-                             .astype(jnp.int32)))
-            cur_coords = layout.out_coords
-            valid = layout.out_valid
+                     jnp.sum((num_out >= blk.out_cap).astype(jnp.int32)))
+            cur_coords = out_coords
+            valid = out_valid
             feats = MaskedBatchNorm(name=f"b{bi}_down_bn")(
                 feats, valid, train=train)
             feats = nn.relu(feats) * valid[..., None]

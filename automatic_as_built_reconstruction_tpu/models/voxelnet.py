@@ -143,6 +143,8 @@ class VoxelNetConfig:
     sparse_pallas_tile: int = 256         # Pallas kernel rows per tile
     sparse_pallas_window: int = 768       # Pallas DMA window (see
                                           # sgg.choose_window)
+    sparse_keymatch: bool = False         # join keys INSIDE the kernel
+                                          # (serving: no rulebook build)
     # post-processing
     post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
@@ -210,6 +212,7 @@ class VoxelNet(nn.Module):
                 kwargs["use_pallas_gemm"] = cfg.sparse_use_pallas_gemm
                 kwargs["pallas_tile"] = cfg.sparse_pallas_tile
                 kwargs["pallas_window"] = cfg.sparse_pallas_window
+                kwargs["use_keymatch"] = cfg.sparse_keymatch
                 kwargs["blocks"] = cfg.middle_blocks
                 grid_dhw = (grid_dhw[0] + cfg.middle_zpad, grid_dhw[1],
                             grid_dhw[2])

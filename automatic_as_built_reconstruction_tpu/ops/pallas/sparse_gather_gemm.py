@@ -305,3 +305,231 @@ def _gather_gemm_bwd(interpret, tile, window, res, dout):
 
 
 gather_gemm.defvjp(_gather_gemm_fwd, _gather_gemm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Key-match gather-GEMM: the join happens INSIDE the kernel.
+#
+# The rulebook builders above answer "which input row matches query key
+# q?" with a device-wide sort join (~10 ms per FHD rulebook).  But the
+# Pallas kernel never needed the row INDEX — it needs the one-hot
+# matrix, and that can be built directly from the KEYS it already has
+# in VMEM: onehot[i, w] = (window_keys[w] == query_keys[i]).  So the
+# key-match variant consumes (sorted input keys, per-tap query keys) —
+# both pure elementwise/linearize computations — and the only remaining
+# device-side construction cost for a whole sparse conv stack is the
+# strided blocks' output-SITE sort (sparse_conv.build_strided_sites).
+# The window start per (tap, tile) comes from two tiny searchsorted
+# calls on the tile's query-key range.  Unlike the index kernel, NO
+# monotonicity is required — only that each tile's key range spans < W
+# table rows, which key-sorted voxel layouts give by construction.
+# ---------------------------------------------------------------------------
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+def _keymatch_kernel(win_ref, qk_ref, keysT_hbm, featsT_hbm, w_ref,
+                     out_ref, fscratch, kscratch, sems, ksems, *,
+                     K: int, TN: int, W: int, n_tiles: int):
+    """featsT_hbm: [Cin, L]; keysT_hbm: [1, L] (both windowed on the
+    128-aligned minor axis); qk_ref: [K, L] per-tap query keys."""
+    t = pl.program_id(0)
+
+    def get_dma(slot, k):
+        ws = pl.multiple_of(win_ref[k * n_tiles + t], 128)
+        return (pltpu.make_async_copy(
+                    featsT_hbm.at[:, pl.ds(ws, W)],
+                    fscratch.at[slot], sems.at[slot]),
+                pltpu.make_async_copy(
+                    keysT_hbm.at[:, pl.ds(ws, W)],
+                    kscratch.at[slot], ksems.at[slot]))
+
+    for d in get_dma(0, 0):
+        d.start()
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):                       # static unroll over taps
+        if k + 1 < K:                        # double-buffered windows
+            for d in get_dma((k + 1) % 2, k + 1):
+                d.start()
+        for d in get_dma(k % 2, k):
+            d.wait()
+        qk = qk_ref[k, sl]                                  # [TN]
+        win_keys = kscratch[k % 2][0]                       # [W]
+        # the join: one VPU compare builds the one-hot; sentinel queries
+        # (INT32_MAX) are masked so padded queries can't match padded
+        # table rows
+        onehot = ((win_keys[None, :] == qk[:, None])
+                  & (qk != _INT32_MAX)[:, None])
+        gathered = jax.lax.dot_general(
+            onehot.astype(fscratch.dtype), fscratch[k % 2],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(
+            gathered.astype(w_ref.dtype), w_ref[k],
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _pallas_keymatch_gemm(featsT, keys, qk, win_start, weights, *,
+                          TN: int, W: int, interpret: bool):
+    Cin, L = featsT.shape
+    K = weights.shape[0]
+    Cout = weights.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # qk
+            pl.BlockSpec(memory_space=pl.ANY),                   # keysT HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.VMEM((2, 1, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_keymatch_kernel, K=K, TN=TN, W=W,
+                          n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, qk, keys.reshape(1, L), featsT, weights)
+
+
+def _keymatch_window_decision(keys, qk, L: int, TN: int, W: int):
+    """Per-(tap, tile) window starts + routing test for the key-match
+    kernel.  ``keys`` [L] must be ascending with unique valid entries
+    (INT32_MAX padding); ``fits`` is False otherwise, so unsorted
+    layouts take the exact XLA fallback instead of silently mismatching.
+    """
+    K = qk.shape[0]
+    n_tiles = L // TN
+    qk_t = qk.reshape(K, n_tiles, TN)
+    validq = qk_t != _INT32_MAX
+    big = jnp.int32(_INT32_MAX)
+    lo = jnp.min(jnp.where(validq, qk_t, big), axis=-1)         # [K, nt]
+    hi = jnp.max(jnp.where(validq, qk_t, -1), axis=-1)
+    start_row = jnp.searchsorted(keys, lo).astype(jnp.int32)
+    end_row = jnp.searchsorted(keys, hi, side="right").astype(jnp.int32)
+    win_start = (jnp.clip(jnp.where(lo == big, 0, start_row), 0,
+                          max(L - W, 0)) // 128 * 128)
+    fits_tile = jnp.where(hi < 0, True, end_row - 1 - win_start < W)
+    sorted_unique = jnp.all((keys[1:] > keys[:-1])
+                            | (keys[1:] == big))
+    return win_start, jnp.all(fits_tile) & sorted_unique
+
+
+def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
+                  tile: int = 256, window: int = 768) -> jax.Array:
+    """Telemetry twin of the key-match routing decision (cf.
+    :func:`pallas_fits`)."""
+    N = in_keys.shape[0]
+    K, M = q_keys.shape
+    TN = int(tile)
+    L = -(-max(N, M) // TN) * TN
+    if int(window) > L:
+        return jnp.asarray(False)   # small-table XLA shortcut, not a miss
+    keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
+    qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
+                 constant_values=_INT32_MAX)
+    _, fits = _keymatch_window_decision(keys, qk, L, TN, int(window))
+    return fits
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
+                  q_keys: jax.Array, weights: jax.Array,
+                  interpret: bool | None = None, tile: int = 256,
+                  window: int = 768) -> jax.Array:
+    """features [N, Cin] x sorted keys [N] x query keys [K, M] x weights
+    [K, Cin, Cout] -> [M, Cout] float32.
+
+    ``out[m] = sum_k (exists j: in_keys[j] == q_keys[k, m])
+               * features[j] @ W[k]`` — submanifold / strided sparse
+    conv semantics with the rulebook join fused into the kernel.  Query
+    keys come from :func:`sparse_conv.subm_tap_keys` /
+    :func:`sparse_conv.strided_tap_keys`; INT32_MAX marks no-query.
+    Layouts whose tile key-spans exceed the window (or unsorted keys)
+    fall back to an exact XLA merge-join path inside the same jit.
+    """
+    return _keymatch_impl(features, in_keys, q_keys, weights,
+                          interpret=interpret, tile=tile, window=window)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "window"))
+def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
+                   tile=256, window=768):
+    from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
+        _merge_lookup)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, Cin = features.shape
+    K, M = q_keys.shape
+    Cout = weights.shape[-1]
+    TN, W = int(tile), int(window)
+
+    L = -(-max(N, M) // TN) * TN
+    feats = jnp.pad(features, ((0, L - N), (0, 0)))
+    keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
+    qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
+                 constant_values=_INT32_MAX)
+
+    def xla_path(args):
+        f, ky, q, _, w = args
+        idx, hit = _merge_lookup(ky, q.reshape(-1))
+        g = jnp.where(hit.reshape(K, L)[:, :, None],
+                      f[idx.reshape(K, L)], 0)
+        g = jnp.transpose(g, (1, 0, 2)).reshape(L, K * Cin)
+        return jnp.dot(g, w.reshape(K * Cin, Cout),
+                       preferred_element_type=jnp.float32)
+
+    w_cast = weights.astype(features.dtype)
+    if W > L:   # table smaller than one window: nothing to tile
+        return xla_path((feats, keys, qk, None, w_cast))[:M]
+
+    win_start, fits = _keymatch_window_decision(keys, qk, L, TN, W)
+
+    def pallas_path(args):
+        f, ky, q, wf, w = args
+        return _pallas_keymatch_gemm(f.T, ky, q, wf, w, TN=TN, W=W,
+                                     interpret=interpret)
+
+    out = lax.cond(fits, pallas_path, xla_path,
+                   (feats, keys, qk, win_start.reshape(-1), w_cast))
+    return out[:M]
+
+
+def _keymatch_fwd(features, in_keys, q_keys, weights, interpret, tile,
+                  window):
+    out = _keymatch_impl(features, in_keys, q_keys, weights,
+                         interpret=interpret, tile=tile, window=window)
+    return out, (features, in_keys, q_keys, weights)
+
+
+def _keymatch_bwd(interpret, tile, window, res, dout):
+    from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
+        _merge_lookup)
+
+    features, in_keys, q_keys, weights = res
+    N = features.shape[0]
+    K, M = q_keys.shape
+    idx, hit = _merge_lookup(in_keys, q_keys.reshape(-1))
+    gather_idx = idx.reshape(K, M)
+    found = hit.reshape(K, M)
+    dfeats, _, _, dW = _gather_gemm_bwd(
+        interpret, tile, window, (features, gather_idx, found, weights),
+        dout)
+    return dfeats, None, None, dW
+
+
+keymatch_gemm.defvjp(_keymatch_fwd, _keymatch_bwd)

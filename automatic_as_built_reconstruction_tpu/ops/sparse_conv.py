@@ -499,18 +499,25 @@ def build_strided_layout_lut(coords: jax.Array, valid: jax.Array,
                                num_out)
 
 
-def build_strided_layout_merge(coords: jax.Array, valid: jax.Array,
-                               grid_dhw: Tuple[int, int, int],
-                               kernel_size: Tuple[int, int, int],
-                               stride: Tuple[int, int, int],
-                               padding: Tuple[int, int, int],
-                               max_out: int) -> StridedSparseLayout:
-    """Merge-join twin of :func:`build_strided_layout`: the sort-based
-    output-site construction is kept (it is already one small sort of
-    the C*N candidate keys), and the per-tap ``searchsorted`` rulebook
-    lookup is replaced by ONE :func:`_merge_lookup` over all T*max_out
-    queries.  Grid-size independent — no [D*H*W] tables."""
-    N = coords.shape[0]
+class StridedSites(NamedTuple):
+    """Output-site set of a strided sparse conv, without tap rulebooks —
+    all a key-match kernel needs (the join happens inside the kernel)."""
+    out_coords: jax.Array   # [M, 3] (z, y, x); -1 pad
+    out_valid: jax.Array    # [M] bool
+    num_out: jax.Array      # scalar int32
+
+
+def build_strided_sites(coords: jax.Array, valid: jax.Array,
+                        grid_dhw: Tuple[int, int, int],
+                        kernel_size: Tuple[int, int, int],
+                        stride: Tuple[int, int, int],
+                        padding: Tuple[int, int, int],
+                        max_out: int) -> StridedSites:
+    """Exact spconv output-site construction (any site whose receptive
+    field touches an active input), KEY-SORTED: enumerate each input's
+    candidate output cells, one sort of the C*N candidate keys, dedup by
+    compare-adjacent.  This is the only part of strided-conv rulebook
+    construction the key-match kernel still needs on device."""
     s = np.asarray(stride)
     p = np.asarray(padding)
     k = np.asarray(kernel_size)
@@ -551,23 +558,72 @@ def build_strided_layout_merge(coords: jax.Array, valid: jax.Array,
     out_coords = jnp.where(
         out_valid[:, None],
         jnp.stack([oz, oy, ox], axis=-1), -1).astype(jnp.int32)
+    return StridedSites(out_coords, out_valid, num_out)
 
-    taps = np.stack(np.meshgrid(*[np.arange(kk) for kk in k],
+
+def conv_taps(kernel_size: Tuple[int, int, int]) -> np.ndarray:
+    """[T, 3] un-centered tap offsets of a strided conv, in the weight
+    layout order shared by every strided-conv consumer."""
+    k = np.asarray(kernel_size)
+    return np.stack(np.meshgrid(*[np.arange(kk) for kk in k],
                                 indexing="ij"), -1).reshape(-1, 3)
-    taps = jnp.asarray(taps, jnp.int32)
-    T = taps.shape[0]
-    in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
+
+
+def subm_tap_keys(coords: jax.Array, valid: jax.Array,
+                  grid_dhw: Tuple[int, int, int],
+                  kernel_size: Tuple[int, int, int] = (3, 3, 3)
+                  ) -> jax.Array:
+    """[K, N] per-tap neighbor query keys of a submanifold conv
+    (``_INT32_MAX`` where there is no query) — the key-match kernel's
+    entire 'rulebook': the join itself happens inside the kernel as a
+    windowed equality compare against the sorted input keys."""
+    offsets = jnp.asarray(_offsets(kernel_size), jnp.int32)
+    return jax.vmap(lambda off: jnp.where(
+        valid, linearize(coords + off[None, :], grid_dhw),
+        _INT32_MAX))(offsets)
+
+
+def strided_tap_keys(sites: StridedSites,
+                     grid_in: Tuple[int, int, int],
+                     kernel_size: Tuple[int, int, int],
+                     stride: Tuple[int, int, int],
+                     padding: Tuple[int, int, int]) -> jax.Array:
+    """[T, M] per-tap input query keys of a strided conv's output sites
+    (``_INT32_MAX`` where there is no query) — key-match analog of the
+    strided rulebook."""
+    sj = jnp.asarray(np.asarray(stride), jnp.int32)
+    pj = jnp.asarray(np.asarray(padding), jnp.int32)
+    taps = jnp.asarray(conv_taps(kernel_size), jnp.int32)
 
     def tap_queries(off):
-        icoords = out_coords * sj[None, :] + off[None, :] - pj[None, :]
-        return jnp.where(out_valid, linearize(icoords, grid_dhw),
+        icoords = (sites.out_coords * sj[None, :] + off[None, :]
+                   - pj[None, :])
+        return jnp.where(sites.out_valid, linearize(icoords, grid_in),
                          _INT32_MAX)
 
-    q = jax.vmap(tap_queries)(taps)                     # [T, max_out]
+    return jax.vmap(tap_queries)(taps)
+
+
+def build_strided_layout_merge(coords: jax.Array, valid: jax.Array,
+                               grid_dhw: Tuple[int, int, int],
+                               kernel_size: Tuple[int, int, int],
+                               stride: Tuple[int, int, int],
+                               padding: Tuple[int, int, int],
+                               max_out: int) -> StridedSparseLayout:
+    """Merge-join twin of :func:`build_strided_layout`: the sort-based
+    output-site construction is kept (it is already one small sort of
+    the C*N candidate keys), and the per-tap ``searchsorted`` rulebook
+    lookup is replaced by ONE :func:`_merge_lookup` over all T*max_out
+    queries.  Grid-size independent — no [D*H*W] tables."""
+    sites = build_strided_sites(coords, valid, grid_dhw, kernel_size,
+                                stride, padding, max_out)
+    q = strided_tap_keys(sites, grid_dhw, kernel_size, stride, padding)
+    T = q.shape[0]
+    in_keys = jnp.where(valid, linearize(coords, grid_dhw), _INT32_MAX)
     idx, hit = _merge_lookup(in_keys, q.reshape(-1))
-    return StridedSparseLayout(out_coords, out_valid,
+    return StridedSparseLayout(sites.out_coords, sites.out_valid,
                                idx.reshape(T, max_out),
-                               hit.reshape(T, max_out), num_out)
+                               hit.reshape(T, max_out), sites.num_out)
 
 
 def strided_sparse_conv(features: jax.Array, layout: StridedSparseLayout,

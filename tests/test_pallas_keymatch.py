@@ -1,0 +1,156 @@
+"""Parity tests for the key-match gather-GEMM (the rulebook join fused
+into the kernel) against the rulebook-based reference paths in
+ops.sparse_conv.  With ``window == padded table size`` every tile's span
+fits, so the Pallas interpret path actually executes on CPU; small
+windows and unsorted keys exercise the exact XLA merge-join fallback."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc  # noqa: E402
+from automatic_as_built_reconstruction_tpu.ops.pallas import (  # noqa: E402
+    sparse_gather_gemm as sgg)
+
+GRID = (8, 12, 10)
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def random_sparse(rng, n_active=60, n_pad=20, cin=8, sort_keys=True):
+    D, H, W = GRID
+    lin = rng.choice(D * H * W, n_active, replace=False)
+    if sort_keys:
+        # depth-minor ascending — the canonical voxelizer order
+        zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+        key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+        zyx = zyx[np.argsort(key)]
+    else:
+        zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+    coords = np.concatenate(
+        [zyx, np.full((n_pad, 3), -1)]).astype(np.int32)
+    valid = np.concatenate(
+        [np.ones(n_active, bool), np.zeros(n_pad, bool)])
+    feats = rng.normal(size=(n_active + n_pad, cin)).astype(np.float32)
+    feats[~valid] = 0
+    return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid)
+
+
+class TestKeymatchGemm:
+    @pytest.mark.parametrize("window", [80, 48])
+    def test_matches_submanifold_conv(self, window):
+        """window=80 (== padded table) -> Pallas interpret path;
+        window=48 -> some tiles over-span -> XLA merge-join fallback.
+        Both must be exact."""
+        rng = np.random.default_rng(0)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, window)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pallas_path_actually_selected(self):
+        """keymatch_fits is True at the full-table window (guards against
+        silently always falling back to XLA in the parity test above)."""
+        rng = np.random.default_rng(5)
+        feats, coords, valid = random_sparse(rng)
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        assert bool(sgg.keymatch_fits(keys, qk, tile=8, window=80))
+
+    def test_unsorted_keys_fall_back_exactly(self):
+        rng = np.random.default_rng(2)
+        feats, coords, valid = random_sparse(rng, sort_keys=False)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        assert not bool(sgg.keymatch_fits(keys, qk, tile=8, window=80))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("stride", [(2, 2, 2), (2, 1, 1)])
+    def test_matches_strided_conv(self, stride):
+        rng = np.random.default_rng(1)
+        feats, coords, valid = random_sparse(rng)
+        kernel, pad, max_out = (3, 3, 3), (1, 1, 1), 48
+        layout = sc.build_strided_layout(coords, valid, GRID, kernel,
+                                         stride, pad, max_out)
+        sites = sc.build_strided_sites(coords, valid, GRID, kernel,
+                                       stride, pad, max_out)
+        np.testing.assert_array_equal(np.asarray(layout.out_coords),
+                                      np.asarray(sites.out_coords))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.strided_tap_keys(sites, GRID, kernel, stride, pad)
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.strided_sparse_conv(feats, layout, w)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80)
+        out = jnp.where(sites.out_valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_rulebook_path(self):
+        rng = np.random.default_rng(4)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        cot = jnp.asarray(
+            rng.normal(size=(feats.shape[0], 16)).astype(np.float32))
+
+        def loss_ref(f, ww):
+            out = sc.submanifold_conv(f, rb, ww, valid=valid)
+            return jnp.sum(out * cot)
+
+        def loss_km(f, ww):
+            out = sgg.keymatch_gemm(f, keys, qk, ww, True, 8, 80)
+            out = jnp.where(valid[:, None], out, 0.0)
+            return jnp.sum(out * cot)
+
+        gr_f, gr_w = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gk_f, gk_w = jax.grad(loss_km, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gk_f),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr_w), np.asarray(gk_w),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSparseMiddleKeymatch:
+    def test_matches_default_path(self):
+        """SparseMiddle(use_keymatch=True) == default rulebook path with
+        identical parameters (interpret mode on CPU)."""
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        rng = np.random.default_rng(3)
+        B, V = 2, 96
+        D, H, W = 8, 16, 16
+        coords = np.full((B, V, 3), -1, np.int32)
+        feats = np.zeros((B, V, 4), np.float32)
+        for b in range(B):
+            n = 48
+            lin = rng.choice(D * H * W, n, replace=False)
+            zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+            key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+            coords[b, :n] = zyx[np.argsort(key)]
+            feats[b, :n] = rng.normal(size=(n, 4))
+        kw = dict(grid_dhw=(D, H, W), num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 1),
+                  z_strides=(2, 2), xy_strides=(2, 2))
+        m_ref = SparseMiddle(**kw)
+        m_km = SparseMiddle(use_pallas_gemm=True, use_keymatch=True,
+                            pallas_tile=8, pallas_window=96, **kw)
+        fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+        variables = m_ref.init(jax.random.key(0), fj, cj)
+        ref = m_ref.apply(variables, fj, cj)
+        out = m_km.apply(variables, fj, cj)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-4)
