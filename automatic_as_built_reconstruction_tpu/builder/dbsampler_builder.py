@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import functools
+import pathlib
 
 from ..core import sample_ops
 
@@ -22,7 +23,10 @@ def build(cfg, rng=None):
                 sample_ops.filter_by_difficulty, removed=removed))
     groups = [dict(g.name_to_max_num) for g in cfg.sample_groups]
     grot = list(cfg.global_random_rotation_range_per_object) or None
+    # gt-database object files are recorded relative to the dataset root
+    # = the dbinfos pickle's own directory (create_data writes both there)
+    root = pathlib.Path(cfg.database_info_path).resolve().parent
     return sample_ops.DataBaseSampler.from_info_path(
-        cfg.database_info_path, groups,
+        cfg.database_info_path, groups, root_path=root,
         rate=cfg.rate or 1.0, prep_steps=prep_steps,
         global_rot_range=grot, rng=rng)
