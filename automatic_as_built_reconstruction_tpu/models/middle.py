@@ -289,10 +289,16 @@ class SparseMiddle(nn.Module):
             w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
             if use_km:
                 wd = w.astype(self.dtype)
+                # a tile of output sites covers stride_y*stride_x times
+                # the xy area in INPUT space, so the strided join's
+                # window must scale with the xy downsampling factor or
+                # every xy-strided block would route to the XLA fallback
+                win_str = self.pallas_window * int(blk.stride[1]
+                                                   * blk.stride[2])
                 feats = jax.lax.map(
                     lambda a: sgg.keymatch_gemm(
                         a[0], a[1], a[2], wd, None,
-                        self.pallas_tile, self.pallas_window),
+                        self.pallas_tile, win_str),
                     (feats, in_keys, qk_str))
                 out_valid, out_coords = sites.out_valid, sites.out_coords
                 num_out = sites.num_out

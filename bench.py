@@ -303,11 +303,33 @@ def bench_second_fhd(jax, jnp) -> dict:
                         * det["valid"][..., None]).astype(jnp.float32)
                 + jnp.sum(det["scores"]))
 
+    # --- key-match serving mode: the rulebook join happens inside the
+    # Pallas kernel, so the only remaining per-scan construction is the
+    # strided blocks' output-site sort
+    vcfg_km = dataclasses.replace(vcfg, sparse_keymatch=True)
+    model_km = VoxelNet(cfg=vcfg_km)
+    km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
+                                  vcfg.sparse_pallas_tile, window)
+
+    def stage_full_km(i, pts0):
+        r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
+        preds = model_km.apply(variables, r.voxels, r.num_points,
+                               r.coords, train=False)
+        det = voxelnet_mod.predict(preds, anchors_b, vcfg_km)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
     pts = jnp.asarray(base)
     _progress("fhd: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
-    _progress("fhd: timing device-only full pipeline")
-    dt_full = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+    _progress("fhd: timing device-only full pipeline (rulebook mode)")
+    dt_rb = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+    _progress("fhd: timing device-only full pipeline (key-match mode)")
+    dt_km = _loop_delta(jax, jnp, stage_full_km, (pts,), 1, 3)
+    # headline = the better serving configuration (both are full
+    # pipelines: voxelize -> middle -> RPN -> decode + rotated NMS)
+    dt_full = min(dt_rb, dt_km)
     device_sps = B / dt_full
 
     flops = _flops_of(
@@ -329,10 +351,13 @@ def bench_second_fhd(jax, jnp) -> dict:
                 max(dt_full - dt_vox, 0.0) / B * 1e3, 3),
         },
         "second_fhd_mfu": round(mfu, 4) if mfu else None,
+        "second_fhd_keymatch_scans_per_sec": round(B / dt_km, 2),
+        "second_fhd_rulebook_scans_per_sec": round(B / dt_rb, 2),
         "second_fhd_hostpipe_scans_per_sec": round(hostpipe_sps, 2),
         "second_fhd_host_prep_scans_per_sec": round(host_sps, 2),
         "pallas_window": window,
         "pallas_fallback_rate": round(fallback_rate, 3),
+        "keymatch_fallback_rate": round(km_miss, 3),
     }
 
 
@@ -362,6 +387,46 @@ def _device_rulebooks(jax, jnp, coords0, plan):
         coords = layout.out_coords
         valid = layout.out_valid
     return books
+
+
+def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window):
+    """Fraction of the middle stack's key-match joins (one per subm
+    stack + one per strided conv) that would route to the XLA fallback
+    instead of the Pallas key-match kernel on this scan."""
+    from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
+    from automatic_as_built_reconstruction_tpu.ops.pallas import (
+        sparse_gather_gemm as sgg)
+
+    def tiled(join_rows):
+        # joins whose padded table is smaller than one DMA window take
+        # the cheap small-table XLA path BY DESIGN (keymatch_fits's
+        # shortcut) — they are not kernel misses
+        return window <= -(-join_rows // tile) * tile
+
+    fits, total = 0, 0
+    coords = coords0
+    valid = coords[..., 0] >= 0
+    for blk in plan:
+        in_keys = jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords)
+        if blk.n_subm > 0 and tiled(coords.shape[0]):
+            qk = jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
+                c, v, b.grid, b.subm_kernel))(coords, valid)
+            fits += int(sgg.keymatch_fits(in_keys, qk, tile, window))
+            total += 1
+        sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
+            c, v, b.grid, b.kernel, b.stride, b.pad,
+            b.out_cap))(coords, valid)
+        # strided joins scale the window by the xy stride area — mirror
+        # of SparseMiddle's keymatch dispatch
+        win_str = window * int(blk.stride[1] * blk.stride[2])
+        if win_str <= -(-max(coords.shape[0], blk.out_cap)
+                        // tile) * tile:
+            qk = jax.jit(lambda s, b=blk: sc.strided_tap_keys(
+                s, b.grid, b.kernel, b.stride, b.pad))(sites)
+            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win_str))
+            total += 1
+        coords, valid = sites.out_coords, sites.out_valid
+    return 1.0 - fits / max(total, 1)
 
 
 def _fhd_host_pipeline(jax, jnp, vcfg, plan):
