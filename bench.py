@@ -31,7 +31,6 @@ model on a GTX 1080 Ti (Sensors 2018).
 """
 from __future__ import annotations
 
-import concurrent.futures as cf
 import dataclasses
 import json
 import pathlib
@@ -429,28 +428,17 @@ def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window):
     return 1.0 - fits / max(total, 1)
 
 
-def _fhd_host_pipeline(jax, jnp, vcfg, plan):
-    """Training-style feed: C++ fused voxelize+mean + host rulebooks.
-    Returns (host_prep_sps, pipelined_sps) where the pipelined rate is
-    bounded by the slower of host prep and the device forward (they
-    overlap in the real input pipeline)."""
-    import os
-
+def _host_prep_stage(vcfg, plan, scans, VCAP, PPV):
+    """One scan's training-style host prep: C++ fused voxelize+mean +
+    host rulebooks.  Returns the prepped (feats, coords, books) list."""
     from automatic_as_built_reconstruction_tpu import native
     from automatic_as_built_reconstruction_tpu.core import voxelize as vox
-    from automatic_as_built_reconstruction_tpu.models import (
-        voxelnet as voxelnet_mod)
-    from automatic_as_built_reconstruction_tpu.models.voxelnet import (
-        VoxelNet)
     from automatic_as_built_reconstruction_tpu.ops import (
         rulebook_host as rbh)
 
     VOXEL, RANGE = vcfg.voxel_size, vcfg.pc_range
     GRID = (vcfg.grid_size[2] + vcfg.middle_zpad, vcfg.grid_size[1],
             vcfg.grid_size[0])
-    VCAP, PPV, B = 16384, 5, 2
-    n_host_scans = 16
-    scans = [make_scene(1000 + i) for i in range(n_host_scans)]
 
     def host_stage(scan):
         if native.AVAILABLE:
@@ -474,17 +462,61 @@ def _fhd_host_pipeline(jax, jnp, vcfg, plan):
         books = rbh.build_middle_rulebooks(cpad, plan)
         return fpad, cpad, books
 
+    return [host_stage(s) for s in scans]
+
+
+def _host_prep_subprocess_rate() -> float:
+    """Host-prep scans/s measured in a fresh JAX-free subprocess.
+
+    In the real deployment host prep runs in dedicated worker processes
+    (train/input_pipeline.py); measuring it inside the bench process
+    under-reports it badly because the axon relay client's polling
+    threads compete for this container's single core."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "jaxmod = jnp = None\n"
+        "VoxelNet, vcfg, _ = bench._fhd_model(jaxmod, jnp)\n"
+        "from automatic_as_built_reconstruction_tpu.models import "
+        "voxelnet as vm\n"
+        "plan = vm.middle_plan(vcfg, 16384)\n"
+        "scans = [bench.make_scene(1000 + i) for i in range(16)]\n"
+        "bench._host_prep_stage(vcfg, plan, scans[:4], 16384, 5)\n"
+        "t0 = time.perf_counter()\n"
+        "bench._host_prep_stage(vcfg, plan, scans, 16384, 5)\n"
+        "print(16 / (time.perf_counter() - t0))\n"
+        % str(pathlib.Path(__file__).parent))
     try:
-        n_cores = len(os.sched_getaffinity(0))   # honors cgroup limits
-    except AttributeError:
-        n_cores = os.cpu_count() or 1
-    n_workers = max(1, min(8, n_cores))
-    with cf.ThreadPoolExecutor(n_workers) as pool:
-        list(pool.map(host_stage, scans[:4]))          # warm the pool
-        t0 = time.perf_counter()
-        prepped = list(pool.map(host_stage, scans))
-        t_host = time.perf_counter() - t0
-    host_sps = n_host_scans / t_host
+        out = subprocess.run([sys.executable, "-c", code], timeout=600,
+                             capture_output=True, text=True, check=True)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
+
+
+def _fhd_host_pipeline(jax, jnp, vcfg, plan):
+    """Training-style feed: C++ fused voxelize+mean + host rulebooks.
+    Returns (host_prep_sps, pipelined_sps) where the pipelined rate is
+    bounded by the slower of host prep and the device forward (they
+    overlap in the real input pipeline)."""
+    from automatic_as_built_reconstruction_tpu.models import (
+        voxelnet as voxelnet_mod)
+    from automatic_as_built_reconstruction_tpu.models.voxelnet import (
+        VoxelNet)
+    from automatic_as_built_reconstruction_tpu.ops import (
+        rulebook_host as rbh)
+
+    VCAP, PPV, B = 16384, 5, 2
+    _progress("fhd: host prep rate (clean subprocess)")
+    host_sps = _host_prep_subprocess_rate()
+    prepped = _host_prep_stage(vcfg, plan,
+                               [make_scene(1000 + i) for i in range(B)],
+                               VCAP, PPV)
 
     feats = np.stack([p[0] for p in prepped[:B]])
     coords = np.stack([p[1] for p in prepped[:B]])
