@@ -28,12 +28,13 @@ sys.path.insert(0, str(REPO))
 
 
 def make_config(data_root: str, steps: int, batch_size: int,
-                lr_max: float) -> str:
+                lr_max: float,
+                config_rel: str = "second/car/car.fhd.config") -> str:
     from automatic_as_built_reconstruction_tpu import builder
 
     cfg = builder.load_config(
         REPO / "automatic_as_built_reconstruction_tpu" / "configs"
-        / "second" / "car" / "car.fhd.config")
+        / config_rel)
     for reader, info in ((cfg.train_input_reader, "kitti_infos_train.pkl"),
                          (cfg.eval_input_reader, "kitti_infos_val.pkl")):
         reader.dataset.kitti_root_path = data_root
@@ -85,6 +86,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--batch_size", type=int, default=3)
     ap.add_argument("--lr_max", type=float, default=0.0015)
+    ap.add_argument("--config", default="second/car/car.fhd.config",
+                    help="config path relative to abr/configs/ "
+                         "(e.g. second/all.fhd.config for multi-class)")
     ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
@@ -93,7 +97,8 @@ def main():
     cfg_path = model_dir / "rehearsal.config"
     if not cfg_path.exists() or not args.eval_only:
         cfg_path.write_text(make_config(args.data_root, args.steps,
-                                        args.batch_size, args.lr_max))
+                                        args.batch_size, args.lr_max,
+                                        config_rel=args.config))
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:

@@ -43,8 +43,16 @@ P2 = np.array([
 IMG_HW = (375, 1242)
 
 
-def sample_car_surface(rng, box, n_base: int = 600):
-    """Lidar-ish shell sampling of a car box: visible faces only,
+# per-class box-dimension samplers: (w_range, l_range, h_range, z_center)
+CLASS_DIMS = {
+    "Car": ((1.5, 1.8), (3.4, 4.6), (1.4, 1.75), -1.65),
+    "Pedestrian": ((0.5, 0.75), (0.5, 0.85), (1.55, 1.9), -1.35),
+    "Cyclist": ((0.5, 0.7), (1.5, 1.95), (1.55, 1.8), -1.4),
+}
+
+
+def sample_box_surface(rng, box, n_base: int = 600):
+    """Lidar-ish shell sampling of an object box: visible faces only,
     density falling with distance, mild dropout."""
     x, y, z, w, l, h, yaw = box
     dist = float(np.hypot(x, y))
@@ -79,26 +87,36 @@ def sample_car_surface(rng, box, n_base: int = 600):
     return pts[keep]
 
 
-def make_frame(rng):
-    """One scene: ground + cars + clutter, all inside the camera FOV."""
-    n_cars = int(rng.integers(2, 9))
-    boxes = []
-    for _ in range(40):
-        if len(boxes) >= n_cars:
-            break
-        x = float(rng.uniform(6, 62))
-        y = float(rng.uniform(-0.45 * x - 2, 0.45 * x + 2))
-        if abs(y) > 26:
-            continue
-        w = float(rng.uniform(1.5, 1.8))
-        l = float(rng.uniform(3.4, 4.6))
-        h = float(rng.uniform(1.4, 1.75))
-        yaw = float(rng.uniform(-np.pi, np.pi))
-        cand = np.array([x, y, -1.65, w, l, h, yaw])
-        # BEV center-distance rejection (cheap collision test)
-        if all(np.hypot(x - b[0], y - b[1]) > 0.6 * (l + b[4])
-               for b in boxes):
-            boxes.append(cand)
+def make_frame(rng, multiclass: bool = False):
+    """One scene: ground + objects + clutter, all inside the camera FOV."""
+    quota = [("Car", int(rng.integers(2, 9)))]
+    if multiclass:
+        quota += [("Pedestrian", int(rng.integers(1, 5))),
+                  ("Cyclist", int(rng.integers(0, 4)))]
+    boxes, names = [], []
+    for name, n_want in quota:
+        (wr, lr, hr, zc) = CLASS_DIMS[name]
+        placed = 0
+        for _ in range(40):
+            if placed >= n_want:
+                break
+            # pedestrians/cyclists are small: keep them nearer the sensor
+            x_hi = 62 if name == "Car" else 42
+            x = float(rng.uniform(6, x_hi))
+            y = float(rng.uniform(-0.45 * x - 2, 0.45 * x + 2))
+            if abs(y) > 26:
+                continue
+            w = float(rng.uniform(*wr))
+            l = float(rng.uniform(*lr))
+            h = float(rng.uniform(*hr))
+            yaw = float(rng.uniform(-np.pi, np.pi))
+            cand = np.array([x, y, zc, w, l, h, yaw])
+            # BEV center-distance rejection (cheap collision test)
+            if all(np.hypot(x - b[0], y - b[1]) > 0.6 * (l + b[4]) + 0.5
+                   for b in boxes):
+                boxes.append(cand)
+                names.append(name)
+                placed += 1
     boxes = np.asarray(boxes).reshape(-1, 7)
 
     pts = []
@@ -109,8 +127,11 @@ def make_frame(rng):
     pts.append(np.c_[gx[keep], gy[keep],
                      rng.normal(-1.72, 0.02, keep.sum()),
                      rng.random(keep.sum())])
-    for b in boxes:
-        pts.append(sample_car_surface(rng, b))
+    for b, name in zip(boxes, names):
+        # small objects get a denser base shell so they survive distance
+        # thinning with a detectable point count
+        pts.append(sample_box_surface(
+            rng, b, n_base=600 if name == "Car" else 350))
     # vertical clutter (poles/walls)
     for _ in range(int(rng.integers(2, 7))):
         cx = float(rng.uniform(8, 60))
@@ -119,12 +140,12 @@ def make_frame(rng):
         pts.append(np.c_[rng.normal(cx, 0.15, m), rng.normal(cy, 0.15, m),
                          rng.uniform(-1.7, 0.8, m), rng.random(m)])
     points = np.concatenate(pts).astype(np.float32)
-    return points[rng.permutation(len(points))], boxes
+    return points[rng.permutation(len(points))], boxes, names
 
 
-def label_lines(boxes_lidar):
+def label_lines(boxes_lidar, names):
     lines = []
-    for b in boxes_lidar:
+    for b, name in zip(boxes_lidar, names):
         box_cam = box_ops.box_lidar_to_camera(
             np.asarray(b, np.float64)[None], np.eye(4), TR_VELO_TO_CAM)[0]
         x, y, z, l, h, w, ry = box_cam
@@ -138,7 +159,7 @@ def label_lines(boxes_lidar):
             continue            # effectively outside the image
         alpha = float(-np.arctan2(-b[1], b[0]) + b[6])
         lines.append(
-            f"Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+            f"{name} 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}")
     return lines
 
@@ -149,6 +170,8 @@ def main():
     ap.add_argument("--num_train", type=int, default=400)
     ap.add_argument("--num_val", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--multiclass", action="store_true",
+                    help="also place Pedestrian + Cyclist objects")
     args = ap.parse_args()
 
     root = pathlib.Path(args.root)
@@ -171,8 +194,8 @@ def main():
     rng = np.random.default_rng(args.seed)
     n_boxes = 0
     for idx in range(n_total):
-        points, boxes = make_frame(rng)
-        lines = label_lines(boxes)
+        points, boxes, names = make_frame(rng, multiclass=args.multiclass)
+        lines = label_lines(boxes, names)
         n_boxes += len(lines)
         frame = f"{idx:06d}"
         points.tofile(root / "training" / "velodyne" / f"{frame}.bin")
@@ -183,7 +206,7 @@ def main():
         "\n".join(f"{i}" for i in range(args.num_train)) + "\n")
     (root / "ImageSets" / "val.txt").write_text(
         "\n".join(f"{i}" for i in range(args.num_train, n_total)) + "\n")
-    print(f"wrote {n_total} frames ({n_boxes} car labels) under {root}")
+    print(f"wrote {n_total} frames ({n_boxes} labels) under {root}")
 
     create_data.kitti_data_prep(root)
 
