@@ -102,7 +102,17 @@ def main():
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:
-        upto = args.chunk
+        # Resume the chunk ladder from the newest on-disk checkpoint so a
+        # supervisor restart doesn't spin up steps/chunk no-op TPU clients
+        # (each client init risks re-wedging the single-client relay).
+        done = 0
+        ckpt_dir = model_dir / "checkpoints"
+        if ckpt_dir.is_dir():
+            steps_on_disk = [int(p.name) for p in ckpt_dir.iterdir()
+                             if p.name.isdigit()]
+            if steps_on_disk:
+                done = max(steps_on_disk)
+        upto = (done // args.chunk + 1) * args.chunk
         while upto < args.steps + args.chunk:
             target = min(upto, args.steps)
             print(f"=== chunk to step {target} ===", flush=True)
