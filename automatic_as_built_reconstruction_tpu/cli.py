@@ -68,6 +68,16 @@ def main(argv=None):
                               "of generating synthetic scenes")
     p_bprep.add_argument("--val_fraction", type=float, default=0.2)
 
+    p_imp = sub.add_parser(
+        "import_torch_weights",
+        help="convert a lineage torch checkpoint (.tckpt/.pt) into an "
+             "orbax checkpoint at step 0 under --model_dir")
+    p_imp.add_argument("--config_path", required=True)
+    p_imp.add_argument("--model_dir", required=True)
+    p_imp.add_argument("--torch_ckpt", required=True)
+    p_imp.add_argument("--no-strict", dest="strict", action="store_false",
+                       help="skip missing keys instead of raising")
+
     p_view = sub.add_parser("viewer", help="serve the web viewer")
     p_view.add_argument("--config_path", required=True)
     p_view.add_argument("--model_dir", default=None)
@@ -99,6 +109,11 @@ def main(argv=None):
             for k, v in sorted(result.items()):
                 if isinstance(v, (int, float)):
                     print(f"{k}: {v:.4f}")
+    elif args.command == "import_torch_weights":
+        from .train.train import import_torch_weights
+        import_torch_weights(args.config_path, args.model_dir,
+                             args.torch_ckpt, strict=args.strict)
+        print(f"imported {args.torch_ckpt} -> {args.model_dir} (step 0)")
     elif args.command == "building_data_prep":
         if args.scan_dir:
             from .data.create_data import building_data_prep_from_scans

@@ -459,3 +459,32 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
     n = min(len(detections), len(dataset))
     result = dataset.evaluation(detections[:n], output_dir=output_dir)
     return result
+
+
+def import_torch_weights(config_path, model_dir, torch_ckpt, *,
+                         strict: bool = True):
+    """Convert a lineage torch checkpoint (``voxelnet-*.tckpt`` /
+    ``.pt`` state_dict) into this trainer's orbax checkpoint at step 0.
+
+    After this, ``evaluate(config_path, model_dir)`` runs inference with
+    the reference-trained weights, and ``train(..., resume=True)``
+    fine-tunes from them — the switch path for a reference user
+    [ref: torchplus/train/checkpoint.py restore — lineage-expected].
+    """
+    from ..utils import weight_import as wi
+
+    model_dir = pathlib.Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    bundle = Bundle(config_path)
+    config_io.save_config(bundle.config, model_dir / "pipeline.config")
+    state, _ = init_state(bundle)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    imported = wi.load_torch_checkpoint(torch_ckpt, variables,
+                                        strict=strict)
+    state = dict(state, params=imported["params"],
+                 batch_stats=imported["batch_stats"])
+    mgr = ckpt_mod.CheckpointManager(model_dir)
+    mgr.save(0, state, force=True)
+    mgr.close()
+    return state

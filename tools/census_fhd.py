@@ -49,8 +49,13 @@ def main():
 
     _, vcfg, anchors_np = bench._fhd_model(jax, jnp)
     B, VCAP, PPV = args.batch, args.vcap, 5
+    # keymatch mode only engages when the Pallas route is on
+    # (models/middle.py::use_km); off-TPU the kernels run in interpret
+    # mode, so the census still compiles — kernel-internal cost is not
+    # TPU-representative, but the surrounding sort/gather census is.
     vcfg = dataclasses.replace(
-        vcfg, compute_dtype="bfloat16", sparse_use_pallas_gemm=False,
+        vcfg, compute_dtype="bfloat16",
+        sparse_use_pallas_gemm=args.keymatch,
         sparse_keymatch=args.keymatch)
     base = np.stack([bench.make_scene(1000 + b) for b in range(B)])
     nv = jnp.full((B,), bench.NUM_POINTS, jnp.int32)
