@@ -78,6 +78,23 @@ def main(argv=None):
     p_imp.add_argument("--no-strict", dest="strict", action="store_false",
                        help="skip missing keys instead of raising")
 
+    p_exp = sub.add_parser(
+        "export_serving",
+        help="AOT-export the full serving program (voxelize -> model -> "
+             "decode+NMS, weights baked in) as a StableHLO artifact")
+    p_exp.add_argument("--config_path", required=True)
+    p_exp.add_argument("--model_dir", required=True)
+    p_exp.add_argument("--output", required=True)
+    p_exp.add_argument("--batch", type=int, default=8)
+    p_exp.add_argument("--max_points", type=int, default=60000)
+    p_exp.add_argument("--platforms", default="tpu",
+                       help="comma-separated lowering targets, e.g. "
+                            "tpu,cpu")
+    p_exp.add_argument("--max_voxels", type=int, default=20000)
+    p_exp.add_argument("--max_points_per_voxel", type=int, default=32)
+    p_exp.add_argument("--voxelization", default="hard",
+                       choices=("hard", "dynamic"))
+
     p_view = sub.add_parser("viewer", help="serve the web viewer")
     p_view.add_argument("--config_path", required=True)
     p_view.add_argument("--model_dir", default=None)
@@ -114,6 +131,16 @@ def main(argv=None):
         import_torch_weights(args.config_path, args.model_dir,
                              args.torch_ckpt, strict=args.strict)
         print(f"imported {args.torch_ckpt} -> {args.model_dir} (step 0)")
+    elif args.command == "export_serving":
+        from .utils.serving_export import export_serving_from_checkpoint
+        size, meta = export_serving_from_checkpoint(
+            args.config_path, args.model_dir, args.output,
+            batch=args.batch, max_points=args.max_points,
+            platforms=tuple(args.platforms.split(",")),
+            max_voxels=args.max_voxels,
+            max_points_per_voxel=args.max_points_per_voxel,
+            voxelization=args.voxelization)
+        print(f"wrote {args.output} ({size} bytes): {meta}")
     elif args.command == "building_data_prep":
         if args.scan_dir:
             from .data.create_data import building_data_prep_from_scans
