@@ -236,7 +236,7 @@ def _fhd_model(jax, jnp):
     return VoxelNet, vcfg, anchors
 
 
-def bench_second_fhd(jax, jnp) -> dict:
+def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     """SECOND/FHD sparse path, two deployments:
 
     - DEVICE-ONLY serving (primary): one jit program per batch — device
@@ -338,7 +338,8 @@ def bench_second_fhd(jax, jnp) -> dict:
            if flops_per_scan else None)
 
     _progress("fhd: cost analysis done; host pipeline")
-    host_sps, hostpipe_sps = _fhd_host_pipeline(jax, jnp, vcfg, plan)
+    host_sps, hostpipe_sps = _fhd_host_pipeline(jax, jnp, vcfg, plan,
+                                                host_sps=host_sps)
 
     return {
         "second_fhd_scans_per_sec": round(device_sps, 2),
@@ -499,7 +500,7 @@ def _host_prep_subprocess_rate() -> float:
         return 0.0
 
 
-def _fhd_host_pipeline(jax, jnp, vcfg, plan):
+def _fhd_host_pipeline(jax, jnp, vcfg, plan, host_sps=None):
     """Training-style feed: C++ fused voxelize+mean + host rulebooks.
     Returns (host_prep_sps, pipelined_sps) where the pipelined rate is
     bounded by the slower of host prep and the device forward (they
@@ -512,8 +513,9 @@ def _fhd_host_pipeline(jax, jnp, vcfg, plan):
         rulebook_host as rbh)
 
     VCAP, PPV, B = 16384, 5, 2
-    _progress("fhd: host prep rate (clean subprocess)")
-    host_sps = _host_prep_subprocess_rate()
+    if host_sps is None:
+        _progress("fhd: host prep rate (clean subprocess)")
+        host_sps = _host_prep_subprocess_rate()
     prepped = _host_prep_stage(vcfg, plan,
                                [make_scene(1000 + i) for i in range(B)],
                                VCAP, PPV)
@@ -572,6 +574,12 @@ def main():
     # Each section is independent; a failure in one must not cost the
     # others their numbers (the driver records exactly one JSON line).
     extra = {}
+    # Host prep FIRST, before the first device dispatch: once the axon
+    # relay client is live its polling threads compete with the
+    # subprocess for this container's single core and under-report the
+    # rate ~10x (measured 5.45 vs 52.8 scans/s idle).
+    _progress("host prep rate (clean subprocess, before TPU init)")
+    host_prep_sps = _host_prep_subprocess_rate()
     pillar = None
     try:
         pillar = bench_pillar(jax, jnp)
@@ -580,7 +588,7 @@ def main():
         extra["pillar_error"] = repr(e)[:200]
     _progress("pillar done; starting second_fhd")
     try:
-        extra.update(bench_second_fhd(jax, jnp))
+        extra.update(bench_second_fhd(jax, jnp, host_sps=host_prep_sps))
     except Exception as e:
         traceback.print_exc()
         extra["second_fhd_error"] = repr(e)[:200]
