@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import pathlib
 import time
 
@@ -42,6 +43,13 @@ PILLAR_BASELINE_SPS = 62.0   # PointPillars paper, 1080 Ti
 SECOND_BASELINE_SPS = 25.0   # SECOND paper large model, 1080 Ti
 NUM_POINTS = 18000
 V5E_BF16_PEAK_FLOPS = 197e12   # TPU v5e chip, bf16 (public spec)
+
+# ABR_BENCH_SMOKE=1: shrink every capacity/loop so the WHOLE script runs
+# on CPU in minutes — validates the bench's own code paths (incl. the
+# key-match serving section) before burning a real-TPU run on them.
+# Numbers produced under smoke are meaningless; the JSON gets
+# {"smoke": true}.
+SMOKE = os.environ.get("ABR_BENCH_SMOKE") == "1"
 
 
 def make_scene(seed: int, n_points: int = NUM_POINTS) -> np.ndarray:
@@ -85,6 +93,9 @@ def _loop_delta(jax, jnp, body, args, r_lo: int, r_hi: int,
     with the step index ``i`` so every iteration does real, distinct work.
     """
     from jax import lax
+
+    if SMOKE:
+        r_lo, r_hi, reps = 1, 2, 1
 
     @jax.jit
     def run(R, *a):
@@ -137,11 +148,12 @@ def bench_pillar(jax, jnp) -> dict:
 
     cfg = _flagship_cfg()
     model = VoxelNet(cfg=cfg)
-    B = 8
-    MAX_VOXELS, MAX_PPV = 12000, 32
+    B = 2 if SMOKE else 8
+    MAX_VOXELS, MAX_PPV = (2000, 8) if SMOKE else (12000, 32)
+    n_pts = 4000 if SMOKE else NUM_POINTS
 
-    base = np.stack([make_scene(b) for b in range(B)])
-    num_valid = jnp.full((B,), NUM_POINTS, jnp.int32)
+    base = np.stack([make_scene(b, n_pts) for b in range(B)])
+    num_valid = jnp.full((B,), n_pts, jnp.int32)
 
     # anchor grid on the RPN output map (stride 2 of the BEV canvas)
     fmap = (1, cfg.grid_size[1] // 2, cfg.grid_size[0] // 2)
@@ -253,13 +265,14 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         sparse_gather_gemm as sgg)
 
     VoxelNet, vcfg, anchors_np = _fhd_model(jax, jnp)
-    B = 2
-    VCAP, PPV = 16384, 5
+    B = 1 if SMOKE else 2
+    VCAP, PPV = (2048, 5) if SMOKE else (16384, 5)
+    n_pts = 4000 if SMOKE else NUM_POINTS
     vcfg = dataclasses.replace(
         vcfg, compute_dtype="bfloat16", sparse_use_pallas_gemm=True)
 
-    base = np.stack([make_scene(1000 + b) for b in range(B)])
-    num_valid = jnp.full((B,), NUM_POINTS, jnp.int32)
+    base = np.stack([make_scene(1000 + b, n_pts) for b in range(B)])
+    num_valid = jnp.full((B,), n_pts, jnp.int32)
 
     def voxelize(p, n):
         return voxelize_jax.voxelize(
@@ -512,12 +525,14 @@ def _fhd_host_pipeline(jax, jnp, vcfg, plan, host_sps=None):
     from automatic_as_built_reconstruction_tpu.ops import (
         rulebook_host as rbh)
 
-    VCAP, PPV, B = 16384, 5, 2
+    VCAP, PPV, B = (2048, 5, 1) if SMOKE else (16384, 5, 2)
     if host_sps is None:
         _progress("fhd: host prep rate (clean subprocess)")
         host_sps = _host_prep_subprocess_rate()
     prepped = _host_prep_stage(vcfg, plan,
-                               [make_scene(1000 + i) for i in range(B)],
+                               [make_scene(1000 + i, 4000 if SMOKE
+                                           else NUM_POINTS)
+                                for i in range(B)],
                                VCAP, PPV)
 
     feats = np.stack([p[0] for p in prepped[:B]])
@@ -549,7 +564,7 @@ def bench_voxelize(jax, jnp) -> float:
     scans (200k points)."""
     from automatic_as_built_reconstruction_tpu.ops import voxelize_jax
 
-    P = 200_000
+    P = 20_000 if SMOKE else 200_000
     pts = make_scene(2000, P)
     num_valid = jnp.int32(P)
 
@@ -569,6 +584,12 @@ def main():
     import traceback
 
     import jax
+
+    if SMOKE:
+        # honor JAX_PLATFORMS despite the sitecustomize force-set (which
+        # would otherwise route the smoke run to the TPU relay)
+        jax.config.update("jax_platforms",
+                          os.environ.get("JAX_PLATFORMS", "cpu"))
     import jax.numpy as jnp
 
     # Each section is independent; a failure in one must not cost the
@@ -610,6 +631,8 @@ def main():
     else:
         # fall back to the FHD number so the line is never empty
         full_sps = extra.get("second_fhd_scans_per_sec", 0.0)
+    if SMOKE:
+        extra["smoke"] = True
     print(json.dumps({
         "metric": "pillar_full_pipeline_scans_per_sec_per_chip",
         "value": round(full_sps, 2),
