@@ -95,6 +95,20 @@ def main(argv=None):
     p_exp.add_argument("--voxelization", default="hard",
                        choices=("hard", "dynamic"))
 
+    p_abx = sub.add_parser(
+        "export_asbuilt",
+        help="run inference on an eval scene and export the reconstructed "
+             "as-built model (merged wall runs, columns, door openings) "
+             "as JSON [+ SVG floor plan]")
+    p_abx.add_argument("--config_path", required=True)
+    p_abx.add_argument("--model_dir", required=True)
+    p_abx.add_argument("--scene", type=int, default=0,
+                       help="eval-split scene index")
+    p_abx.add_argument("--output", required=True, help="JSON output path")
+    p_abx.add_argument("--svg", default=None,
+                       help="optional SVG floor-plan output path")
+    p_abx.add_argument("--score_threshold", type=float, default=0.3)
+
     p_view = sub.add_parser("viewer", help="serve the web viewer")
     p_view.add_argument("--config_path", required=True)
     p_view.add_argument("--model_dir", default=None)
@@ -141,6 +155,20 @@ def main(argv=None):
             max_points_per_voxel=args.max_points_per_voxel,
             voxelization=args.voxelization)
         print(f"wrote {args.output} ({size} bytes): {meta}")
+    elif args.command == "export_asbuilt":
+        from .utils.asbuilt_export import export_asbuilt
+        from .viewer.server import _make_predictor
+        dataset, predict = _make_predictor(args.config_path,
+                                           args.model_dir)
+        dets = predict(args.scene)
+        class_names = getattr(dataset, "_class_names",
+                              ("wall", "column", "door"))
+        model = export_asbuilt(
+            {"box3d_lidar": dets["boxes"], "scores": dets["scores"],
+             "label_preds": dets["labels"]},
+            class_names, json_path=args.output, svg_path=args.svg,
+            score_threshold=args.score_threshold)
+        print(f"wrote {args.output}: {model['stats']}")
     elif args.command == "building_data_prep":
         if args.scan_dir:
             from .data.create_data import building_data_prep_from_scans
