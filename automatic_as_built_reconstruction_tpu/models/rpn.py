@@ -94,8 +94,16 @@ class RPN(nn.Module):
             num_cls = self.num_anchor_per_loc * (self.num_class + 1)
         box_preds = nn.Conv(self.num_anchor_per_loc * self.box_code_size,
                             (1, 1), name="conv_box", dtype=self.dtype)(x)
+        # Focal-loss prior init (RetinaNet): bias = -log((1-pi)/pi),
+        # pi = 0.01, so a fresh head scores every anchor ~0.01 instead of
+        # sigmoid(0) = 0.5.  Stabilizes early focal training (step-1 cls
+        # loss ~0.03 instead of ~14) and keeps an untrained net's
+        # predict() on the pruned NMS path instead of the dense
+        # all-anchors-fire worst case.  (Init-only: checkpoints override.)
         cls_preds = nn.Conv(num_cls, (1, 1), name="conv_cls",
-                            dtype=self.dtype)(x)
+                            dtype=self.dtype,
+                            bias_init=nn.initializers.constant(
+                                -4.59511985013459))(x)
         ret = {"box_preds": box_preds, "cls_preds": cls_preds}
         if self.use_direction_classifier:
             ret["dir_cls_preds"] = nn.Conv(
