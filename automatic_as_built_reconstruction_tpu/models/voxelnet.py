@@ -350,65 +350,75 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
     p = _flatten_preds(preds, cfg)
     box_preds = p["box_preds"].astype(jnp.float32)
     cls_preds = p["cls_preds"].astype(jnp.float32)
-    batch_boxes = box_jax.second_box_decode(box_preds, anchors)
 
     if cfg.encode_background_as_zeros:
         scores_all = jax.nn.sigmoid(cls_preds)  # [B, A, num_class]
     else:
         scores_all = jax.nn.softmax(cls_preds, axis=-1)[..., 1:]
 
-    if cfg.use_direction_classifier:
-        dir_labels = jnp.argmax(p["dir_cls_preds"], axis=-1)
-        period = 2 * jnp.pi / cfg.num_direction_bins
-        dir_rot = box_jax.limit_period(
-            batch_boxes[..., 6] - cfg.direction_offset, 0.0, period)
-        yaw = (dir_rot + cfg.direction_offset
-               + period * dir_labels.astype(jnp.float32))
-        batch_boxes = batch_boxes.at[..., 6].set(yaw)
-
     if anchors_mask is not None:
         scores_all = jnp.where(anchors_mask[..., None], scores_all, 0.0)
 
-    if cfg.post_center_limit_range:
-        lim = cfg.post_center_limit_range
-        centers_ok = ((batch_boxes[..., 0] >= lim[0])
-                      & (batch_boxes[..., 1] >= lim[1])
-                      & (batch_boxes[..., 2] >= lim[2])
-                      & (batch_boxes[..., 0] <= lim[3])
-                      & (batch_boxes[..., 1] <= lim[4])
-                      & (batch_boxes[..., 2] <= lim[5]))
-        scores_all = jnp.where(centers_ok[..., None], scores_all, 0.0)
-
-    B, A = batch_boxes.shape[:2]
+    B, A = box_preds.shape[:2]
     C = cfg.num_class
     D = cfg.nms_post_max_size
     pre = min(cfg.nms_pre_max_size, A)
 
-    # flatten (sample, class) -> R rows of one batched NMS problem so
-    # the whole batch shares a single pruned-vs-dense branch decision
-    # (a per-row lax.cond under vmap would run BOTH branches)
+    # Top-k FIRST (scores only), then decode / dir-fix / NMS just the k
+    # winners per (sample, class) row: the decode+dir work and all
+    # box-sized intermediates shrink from the full anchor grid (~100k)
+    # to nms_pre_max_size (~1k).  Selection is identical — decode does
+    # not change scores.  (sample, class) flattens to R rows of one
+    # batched NMS problem so the whole batch shares a single
+    # pruned-vs-dense branch decision (a per-row lax.cond under vmap
+    # would run BOTH branches).
     sc = jnp.moveaxis(scores_all, -1, 1)                  # [B, C, A]
     sc = jnp.where(sc >= cfg.nms_score_threshold, sc, -jnp.inf)
-    flat_sc = sc.reshape(B * C, A)
-    boxes_rep = jnp.broadcast_to(
-        batch_boxes[:, None], (B, C, A, batch_boxes.shape[-1])
-    ).reshape(B * C, A, -1)
-    bev = boxes_rep[:, :, jnp.array([0, 1, 3, 4, 6])]
+    top_sc, top_idx = jax.vmap(
+        lambda s: jax.lax.top_k(s, pre))(sc.reshape(B * C, A))
+
+    idx_b = top_idx.reshape(B, C * pre)                   # anchor ids
+    gathered_bp = jnp.take_along_axis(box_preds, idx_b[..., None], axis=1)
+    gathered_an = jnp.take_along_axis(anchors, idx_b[..., None], axis=1)
+    boxes_top = box_jax.second_box_decode(gathered_bp, gathered_an)
+
+    if cfg.use_direction_classifier:
+        gathered_dir = jnp.take_along_axis(
+            p["dir_cls_preds"].astype(jnp.float32),
+            idx_b[..., None], axis=1)
+        dir_labels = jnp.argmax(gathered_dir, axis=-1)
+        period = 2 * jnp.pi / cfg.num_direction_bins
+        dir_rot = box_jax.limit_period(
+            boxes_top[..., 6] - cfg.direction_offset, 0.0, period)
+        yaw = (dir_rot + cfg.direction_offset
+               + period * dir_labels.astype(jnp.float32))
+        boxes_top = boxes_top.at[..., 6].set(yaw)
+
+    if cfg.post_center_limit_range:
+        lim = cfg.post_center_limit_range
+        centers_ok = ((boxes_top[..., 0] >= lim[0])
+                      & (boxes_top[..., 1] >= lim[1])
+                      & (boxes_top[..., 2] >= lim[2])
+                      & (boxes_top[..., 0] <= lim[3])
+                      & (boxes_top[..., 1] <= lim[4])
+                      & (boxes_top[..., 2] <= lim[5]))
+        top_sc = jnp.where(centers_ok.reshape(B * C, pre), top_sc,
+                           -jnp.inf)
+
+    boxes_r = boxes_top.reshape(B * C, pre, boxes_top.shape[-1])
+    bev = boxes_r[:, :, jnp.array([0, 1, 3, 4, 6])]
     if cfg.use_rotate_nms:
-        idx, valid = nms_jax.rotate_nms_batch(
-            bev, flat_sc, cfg.nms_iou_threshold,
-            pre_max_size=pre, post_max_size=D)
+        idx, valid = nms_jax.rotate_nms_presorted(
+            bev, top_sc, cfg.nms_iou_threshold, post_max_size=D)
     else:
         near = jax.vmap(nms_jax.rbbox_to_near_bbox)(bev)
-        idx, valid = jax.lax.map(
-            lambda bs: nms_jax.nearest_nms(
-                bs[0], bs[1], cfg.nms_iou_threshold,
-                pre_max_size=pre, post_max_size=D), (near, flat_sc))
+        idx, valid = nms_jax.nearest_nms_presorted(
+            near, top_sc, cfg.nms_iou_threshold, post_max_size=D)
 
     safe = jnp.where(valid, idx, 0)                       # [B*C, D]
-    boxes = jnp.take_along_axis(boxes_rep, safe[..., None], axis=1)
+    boxes = jnp.take_along_axis(boxes_r, safe[..., None], axis=1)
     scores = jnp.where(valid,
-                       jnp.take_along_axis(flat_sc, safe, axis=1), 0.0)
+                       jnp.take_along_axis(top_sc, safe, axis=1), 0.0)
     labels = jnp.broadcast_to(
         jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, D))
     return {"box3d_lidar": boxes.reshape(B, C * D, -1),

@@ -215,6 +215,51 @@ def rotate_nms_batch(boxes: jax.Array, scores: jax.Array,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("post_max_size", "neighbor_cap"))
+def rotate_nms_presorted(boxes: jax.Array, scores: jax.Array,
+                         iou_threshold: float, post_max_size: int,
+                         neighbor_cap: int = 128):
+    """:func:`rotate_nms_batch` for rows ALREADY score-sorted descending
+    (e.g. straight out of a caller's top_k): skips the internal top_k
+    and returns indices into each row's K axis.
+
+    boxes: [R, K, 5]; scores: [R, K] descending, -inf = invalid."""
+    R, K = scores.shape
+    valid = scores > -jnp.inf
+    keep = rotate_nms_keep_batch(boxes, valid, iou_threshold, neighbor_cap)
+    idx = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (R, K))
+    return jax.vmap(lambda ke, ti: _compact_keep(ke, ti, post_max_size))(
+        keep, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("post_max_size",))
+def nearest_nms_presorted(boxes_bev: jax.Array, scores: jax.Array,
+                          iou_threshold: float, post_max_size: int):
+    """:func:`nearest_nms` for rows ALREADY score-sorted descending;
+    returns indices into each row's K axis.
+
+    boxes_bev: [R, K, 4] (x1, y1, x2, y2); scores: [R, K] descending."""
+    R, K = scores.shape
+
+    def one(b, s):
+        valid = s > -jnp.inf
+        area = (jnp.maximum(b[:, 2] - b[:, 0], 0)
+                * jnp.maximum(b[:, 3] - b[:, 1], 0))
+        iw = jnp.minimum(b[:, None, 2], b[None, :, 2]) - jnp.maximum(
+            b[:, None, 0], b[None, :, 0])
+        ih = jnp.minimum(b[:, None, 3], b[None, :, 3]) - jnp.maximum(
+            b[:, None, 1], b[None, :, 1])
+        inter = jnp.maximum(iw, 0) * jnp.maximum(ih, 0)
+        union = area[:, None] + area[None, :] - inter
+        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+        keep = _greedy_suppress(iou, valid, iou_threshold)
+        return _compact_keep(keep, jnp.arange(K, dtype=jnp.int32),
+                             post_max_size)
+
+    return jax.lax.map(lambda bs: one(*bs), (boxes_bev, scores))
+
+
+@functools.partial(jax.jit,
                    static_argnames=("pre_max_size", "post_max_size",
                                     "neighbor_cap"))
 def rotate_nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,

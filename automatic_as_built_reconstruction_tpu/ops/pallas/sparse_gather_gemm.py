@@ -358,9 +358,11 @@ def _keymatch_kernel(win_ref, qk_ref, keysT_hbm, featsT_hbm, w_ref,
         win_keys = kscratch[k % 2][0]                       # [W]
         # the join: one VPU compare builds the one-hot; sentinel queries
         # (INT32_MAX) are masked so padded queries can't match padded
-        # table rows
-        onehot = ((win_keys[None, :] == qk[:, None])
-                  & (qk != _INT32_MAX)[:, None])
+        # table rows. Broadcast the int32 query column BEFORE comparing:
+        # Mosaic can't insert a minor dim on 1-bit vectors.
+        qcol = qk[:, None]                                  # [TN, 1] i32
+        onehot = ((win_keys[None, :] == qcol)
+                  & (qcol != _INT32_MAX))
         gathered = jax.lax.dot_general(
             onehot.astype(fscratch.dtype), fscratch[k % 2],
             dimension_numbers=(((1,), (1,)), ((), ())),

@@ -169,6 +169,46 @@ class TestNmsParity:
         # order should both be score-descending
         np.testing.assert_array_equal(keep_j, keep_np)
 
+    def test_presorted_matches_topk_variants(self):
+        # rotate_nms_presorted / nearest_nms_presorted on pre-sorted rows
+        # must agree with the top_k-inclusive entry points (modulo the
+        # index space: presorted returns positions in the sorted row)
+        rng = np.random.default_rng(11)
+        R, n = 3, 48
+        boxes = np.stack([
+            np.stack([rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+                      np.full(n, 2.0) + rng.uniform(0, 1, n),
+                      np.full(n, 4.0) + rng.uniform(0, 1, n),
+                      rng.uniform(-np.pi, np.pi, n)], axis=1)
+            for _ in range(R)]).astype(np.float32)
+        scores = rng.uniform(0, 1, (R, n)).astype(np.float32)
+        idx_b, val_b = nms_jax.rotate_nms_batch(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+            pre_max_size=n, post_max_size=n)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        boxes_s = np.take_along_axis(boxes, order[..., None], axis=1)
+        scores_s = np.take_along_axis(scores, order, axis=1)
+        idx_p, val_p = nms_jax.rotate_nms_presorted(
+            jnp.asarray(boxes_s), jnp.asarray(scores_s), 0.3,
+            post_max_size=n)
+        for r in range(R):
+            kept_b = np.asarray(idx_b[r])[np.asarray(val_b[r])]
+            kept_p = order[r][np.asarray(idx_p[r])[np.asarray(val_p[r])]]
+            np.testing.assert_array_equal(kept_b, kept_p)
+
+        near = np.asarray(jax.vmap(nms_jax.rbbox_to_near_bbox)(
+            jnp.asarray(boxes_s)))
+        idx_n, val_n = nms_jax.nearest_nms_presorted(
+            jnp.asarray(near), jnp.asarray(scores_s), 0.3, post_max_size=n)
+        for r in range(R):
+            idx1, val1 = nms_jax.nearest_nms(
+                jnp.asarray(near[r]),
+                jnp.asarray(scores_s[r]), 0.3,
+                pre_max_size=n, post_max_size=n)
+            np.testing.assert_array_equal(
+                np.asarray(idx_n[r])[np.asarray(val_n[r])],
+                np.asarray(idx1)[np.asarray(val1)])
+
     def test_post_max_size(self):
         rng = np.random.default_rng(8)
         boxes = np.stack([rng.uniform(-50, 50, 64), rng.uniform(-50, 50, 64),
