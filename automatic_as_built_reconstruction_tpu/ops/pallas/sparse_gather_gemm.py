@@ -101,6 +101,96 @@ def _pallas_gather_gemm(featsT, idx, mask, win_start, weights, *,
     )(win_start, idx, mask, featsT, weights)
 
 
+def _kernel_shared(win_ref, idx_ref, mask_ref, featsT_hbm, w_ref,
+                   out_ref, scratch, sems, *, K: int, TN: int, W: int,
+                   n_tiles: int):
+    """Shared-window variant of :func:`_kernel`: one per-tile feature
+    window serves all K taps (win_ref is [n_tiles]; the window covers
+    the union of every tap's index range for the tile), cutting HBM
+    traffic ~K-fold.  Double-buffered across grid tiles."""
+    t = pl.program_id(0)
+
+    def get_dma(slot, tt):
+        ws = pl.multiple_of(win_ref[tt], 128)
+        return pltpu.make_async_copy(
+            featsT_hbm.at[:, pl.ds(ws, W)],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(t == 0)
+    def _start_first():
+        get_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _start_next():
+        get_dma((t + 1) % 2, t + 1).start()
+
+    get_dma(t % 2, t).wait()
+
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
+    ws = win_ref[t]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):                       # static unroll over taps
+        rel = idx_ref[k, sl] - ws                           # [TN]
+        onehot = (cols == rel[:, None]) & (mask_ref[k, sl][:, None] > 0)
+        gathered = jax.lax.dot_general(
+            onehot.astype(scratch.dtype), scratch[t % 2],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(
+            gathered.astype(w_ref.dtype), w_ref[k],
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _pallas_gather_gemm_shared(featsT, idx, mask, win_start, weights, *,
+                               TN: int, W: int, interpret: bool):
+    Cin, L = featsT.shape
+    K = weights.shape[0]
+    Cout = weights.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # idx
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # mask
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_shared, K=K, TN=TN, W=W,
+                          n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, idx, mask, featsT, weights)
+
+
+def _shared_window_decision(idx, mask, L: int, TN: int, W: int):
+    """Per-TILE window starts + routing test for the shared-window
+    index kernel: the window must cover the union of all K taps'
+    gathered rows for that tile.  No monotonicity requirement — the
+    span check alone guarantees every matched row is in-window."""
+    K = idx.shape[0]
+    n_tiles = L // TN
+    idx_t = idx.reshape(K, n_tiles, TN)
+    mask_t = mask.reshape(K, n_tiles, TN).astype(bool)
+    big = jnp.int32(L)
+    mins = jnp.min(jnp.where(mask_t, idx_t, big), axis=(0, 2))   # [nt]
+    maxs = jnp.max(jnp.where(mask_t, idx_t, -1), axis=(0, 2))
+    win_start = jnp.clip(jnp.where(mins == big, 0, mins), 0,
+                         max(L - W, 0)) // 128 * 128
+    return win_start, jnp.all(maxs - win_start < W) & (L >= W)
+
+
 def _window_decision(idx, mask, L: int, TN: int, W: int):
     """Per-(tap, tile) window starts + the pallas-vs-XLA routing test.
 
@@ -135,15 +225,18 @@ def _pad_rulebook(gather_idx, found, N: int, TN: int):
 
 
 def pallas_fits(gather_idx: jax.Array, found: jax.Array, n_rows: int,
-                tile: int = 256, window: int = 768) -> jax.Array:
+                tile: int = 256, window: int = 768,
+                shared: bool = True) -> jax.Array:
     """Telemetry twin of the routing decision inside the kernel wrapper:
     True iff ``gather_gemm`` with these args would take the Pallas path.
     jit-able; use it to measure the fallback rate on real rulebooks
-    (bench.py reports ``pallas_fallback_rate``)."""
+    (bench.py reports ``pallas_fallback_rate``).  ``shared`` must match
+    the kernel mode."""
     idx, mask, L = _pad_rulebook(gather_idx, found, int(n_rows), int(tile))
     if int(window) > L:
         return jnp.asarray(False)   # small-table XLA shortcut, not a miss
-    _, fits = _window_decision(idx, mask, L, int(tile), int(window))
+    decide = _shared_window_decision if shared else _window_decision
+    _, fits = decide(idx, mask, L, int(tile), int(window))
     return fits
 
 
@@ -179,7 +272,8 @@ def tile_spans(gather_idx: np.ndarray, found: np.ndarray, n_rows: int,
 
 def choose_window(rulebooks, n_rows: int, tile: int = 256,
                   max_window: int = 4096, vmem_budget_bytes: int = 8 << 20,
-                  cin: int = 64, bytes_per_el: int = 2) -> int:
+                  cin: int = 64, bytes_per_el: int = 2,
+                  shared: bool = True) -> int:
     """Pick the DMA window from measured rulebooks: the smallest
     128-multiple W for which every sampled (tap, tile) passes the exact
     routing test in :func:`_window_decision` (including its end-of-table
@@ -203,8 +297,15 @@ def choose_window(rulebooks, n_rows: int, tile: int = 256,
             if w > L:
                 ok = False      # small-table shortcut -> XLA, skip
                 break
-            start = np.clip(mins, 0, max(L - w, 0)) // 128 * 128
-            if not np.all(np.where(maxs >= 0, maxs - start, -1) < w):
+            if shared:
+                # the shared kernel uses one per-tile window covering
+                # the union of all taps' rows (all-empty tiles keep the
+                # int64-max min sentinel and mx=-1 -> unconstrained)
+                mn, mx = mins.min(0), maxs.max(0)
+            else:
+                mn, mx = mins, maxs
+            start = np.clip(mn, 0, max(L - w, 0)) // 128 * 128
+            if not np.all(np.where(mx >= 0, mx - start, -1) < w):
                 ok = False
                 break
         if ok:
@@ -212,32 +313,38 @@ def choose_window(rulebooks, n_rows: int, tile: int = 256,
     return bound
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def gather_gemm(features: jax.Array, gather_idx: jax.Array,
                 found: jax.Array, weights: jax.Array,
                 interpret: bool | None = None, tile: int = 256,
-                window: int = 768) -> jax.Array:
+                window: int = 768, shared: bool = True) -> jax.Array:
     """features [N, Cin] x rulebook ([K, R] idx + found) x weights
     [K, Cin, Cout] -> [R, Cout] float32.
 
     Semantics identical to ``sparse_conv.submanifold_conv`` /
     ``strided_sparse_conv`` (without bias/valid-masking, which callers
     apply): ``out[r] = sum_k found[k, r] * features[idx[k, r]] @ W[k]``.
-    Monotone (key-sorted) rulebooks run the Pallas windowed kernel;
+    Key-sorted (windowable) rulebooks run the Pallas windowed kernel;
     anything else falls back to the XLA path inside the same jit program.
+
+    ``shared=True`` (default): one per-tile window DMA serves all K
+    taps (~K-fold less HBM traffic; the window must cover the tile's
+    cross-tap union span).  ``shared=False``: per-(tap, tile) windows,
+    monotone rulebooks only.
 
     Differentiable: backward is plain XLA (masked scatter-add for
     d/dfeatures, per-tap GEMMs for d/dweights).
     """
     return _gather_gemm_impl(features, gather_idx, found, weights,
                              interpret=interpret, tile=tile,
-                             window=window)
+                             window=window, shared=shared)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "window"))
+                   static_argnames=("interpret", "tile", "window",
+                                    "shared"))
 def _gather_gemm_impl(features, gather_idx, found, weights,
-                      interpret=None, tile=256, window=768):
+                      interpret=None, tile=256, window=768, shared=True):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, Cin = features.shape
@@ -259,13 +366,15 @@ def _gather_gemm_impl(features, gather_idx, found, weights,
         return xla_only(feats, idx, mask,
                         weights.astype(features.dtype))[:R]
 
-    win_start, fits = _window_decision(idx, mask, L, TN, W)
+    decide = _shared_window_decision if shared else _window_decision
+    kernel = _pallas_gather_gemm_shared if shared else _pallas_gather_gemm
+    win_start, fits = decide(idx, mask, L, TN, W)
     win_flat = win_start.reshape(-1)
 
     def pallas_path(args):
         f, i, m, wf, w = args
-        return _pallas_gather_gemm(f.T, i, m, wf, w, TN=TN, W=W,
-                                   interpret=interpret)
+        return kernel(f.T, i, m, wf, w, TN=TN, W=W,
+                      interpret=interpret)
 
     def xla_path(args):
         f, i, m, _, w = args
@@ -278,13 +387,14 @@ def _gather_gemm_impl(features, gather_idx, found, weights,
 
 
 def _gather_gemm_fwd(features, gather_idx, found, weights, interpret,
-                     tile, window):
+                     tile, window, shared):
     out = _gather_gemm_impl(features, gather_idx, found, weights,
-                            interpret=interpret, tile=tile, window=window)
+                            interpret=interpret, tile=tile, window=window,
+                            shared=shared)
     return out, (features, gather_idx, found, weights)
 
 
-def _gather_gemm_bwd(interpret, tile, window, res, dout):
+def _gather_gemm_bwd(interpret, tile, window, shared, res, dout):
     features, gather_idx, found, weights = res
     N = features.shape[0]
     K, R = gather_idx.shape
@@ -406,6 +516,112 @@ def _pallas_keymatch_gemm(featsT, keys, qk, win_start, weights, *,
     )(win_start, qk, keys.reshape(1, L), featsT, weights)
 
 
+def _keymatch_kernel_shared(win_ref, qk_ref, keysT_hbm, featsT_hbm,
+                            w_ref, out_ref, fscratch, kscratch, sems,
+                            ksems, *, K: int, TN: int, W: int,
+                            n_tiles: int):
+    """Shared-window variant of :func:`_keymatch_kernel`: ONE feature
+    window per tile serves all K taps (the per-tile window covers the
+    union of every tap's matched rows), so HBM traffic drops ~K-fold —
+    for 3x3x3 convs the per-tap kernel re-DMAs an almost identical
+    window 27 times.  Double-buffered across grid tiles instead of
+    across taps."""
+    t = pl.program_id(0)
+
+    def get_dma(slot, tt):
+        ws = pl.multiple_of(win_ref[tt], 128)
+        return (pltpu.make_async_copy(
+                    featsT_hbm.at[:, pl.ds(ws, W)],
+                    fscratch.at[slot], sems.at[slot]),
+                pltpu.make_async_copy(
+                    keysT_hbm.at[:, pl.ds(ws, W)],
+                    kscratch.at[slot], ksems.at[slot]))
+
+    @pl.when(t == 0)
+    def _start_first():
+        for d in get_dma(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _start_next():
+        for d in get_dma((t + 1) % 2, t + 1):
+            d.start()
+
+    for d in get_dma(t % 2, t):
+        d.wait()
+
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
+    win_keys = kscratch[t % 2][0]                           # [W]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):                       # static unroll over taps
+        qk = qk_ref[k, sl]                                  # [TN]
+        qcol = qk[:, None]                                  # [TN, 1] i32
+        onehot = ((win_keys[None, :] == qcol)
+                  & (qcol != _INT32_MAX))
+        gathered = jax.lax.dot_general(
+            onehot.astype(fscratch.dtype), fscratch[t % 2],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(
+            gathered.astype(w_ref.dtype), w_ref[k],
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _pallas_keymatch_gemm_shared(featsT, keys, qk, win_start, weights, *,
+                                 TN: int, W: int, interpret: bool):
+    Cin, L = featsT.shape
+    K = weights.shape[0]
+    Cout = weights.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # qk
+            pl.BlockSpec(memory_space=pl.ANY),                   # keysT HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.VMEM((2, 1, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_keymatch_kernel_shared, K=K, TN=TN, W=W,
+                          n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, qk, keys.reshape(1, L), featsT, weights)
+
+
+def _keymatch_shared_window_decision(keys, qk, L: int, TN: int, W: int):
+    """Per-TILE window starts + routing test for the shared-window
+    key-match kernel: the window must cover the union of all K taps'
+    matched rows for that tile."""
+    K = qk.shape[0]
+    n_tiles = L // TN
+    qk_t = qk.reshape(K, n_tiles, TN)
+    validq = qk_t != _INT32_MAX
+    big = jnp.int32(_INT32_MAX)
+    lo = jnp.min(jnp.where(validq, qk_t, big), axis=(0, 2))     # [nt]
+    hi = jnp.max(jnp.where(validq, qk_t, -1), axis=(0, 2))      # [nt]
+    start_row = jnp.searchsorted(keys, lo).astype(jnp.int32)
+    end_row = jnp.searchsorted(keys, hi, side="right").astype(jnp.int32)
+    win_start = (jnp.clip(jnp.where(lo == big, 0, start_row), 0,
+                          max(L - W, 0)) // 128 * 128)
+    fits_tile = jnp.where(hi < 0, True, end_row - 1 - win_start < W)
+    sorted_unique = jnp.all((keys[1:] > keys[:-1])
+                            | (keys[1:] == big))
+    return win_start, jnp.all(fits_tile) & sorted_unique
+
+
 def _keymatch_window_decision(keys, qk, L: int, TN: int, W: int):
     """Per-(tap, tile) window starts + routing test for the key-match
     kernel.  ``keys`` [L] must be ascending with unique valid entries
@@ -430,9 +646,10 @@ def _keymatch_window_decision(keys, qk, L: int, TN: int, W: int):
 
 
 def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
-                  tile: int = 256, window: int = 768) -> jax.Array:
+                  tile: int = 256, window: int = 768,
+                  shared: bool = True) -> jax.Array:
     """Telemetry twin of the key-match routing decision (cf.
-    :func:`pallas_fits`)."""
+    :func:`pallas_fits`).  ``shared`` must match the kernel mode."""
     N = in_keys.shape[0]
     K, M = q_keys.shape
     TN = int(tile)
@@ -442,15 +659,65 @@ def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
     keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
     qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
                  constant_values=_INT32_MAX)
-    _, fits = _keymatch_window_decision(keys, qk, L, TN, int(window))
+    decide = (_keymatch_shared_window_decision if shared
+              else _keymatch_window_decision)
+    _, fits = decide(keys, qk, L, TN, int(window))
     return fits
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def keymatch_window_spans(in_keys: np.ndarray, q_keys: np.ndarray,
+                          tile: int = 256) -> np.ndarray:
+    """Host-side per-tile UNION row spans for the shared-window
+    key-match kernel: for each output tile, how many table rows
+    (from the 128-aligned window start) the union of every tap's
+    matched range covers.  The smallest viable shared window is
+    ``ceil(max(spans)/128)*128`` — size ``choose_keymatch_window``
+    from these over sampled scans.  Empty tiles report 0."""
+    big = np.iinfo(np.int32).max
+    keys = np.asarray(in_keys, np.int64)
+    qk = np.asarray(q_keys, np.int64)
+    N = keys.shape[0]
+    K, M = qk.shape
+    TN = int(tile)
+    L = -(-max(N, M) // TN) * TN
+    keys_p = np.full(L, big, np.int64)
+    keys_p[:N] = keys
+    qk_p = np.full((K, L), big, np.int64)
+    qk_p[:, :M] = qk
+    qk_t = qk_p.reshape(K, -1, TN)
+    validq = qk_t != big
+    lo = np.where(validq, qk_t, np.iinfo(np.int64).max).min((0, 2))
+    hi = np.where(validq, qk_t, -1).max((0, 2))
+    start = np.searchsorted(keys_p, lo) // 128 * 128
+    end = np.searchsorted(keys_p, hi, side="right")
+    return np.where(hi >= 0, end - start, 0)
+
+
+def choose_keymatch_window(samples, tile: int = 256,
+                           max_window: int = 4096,
+                           vmem_budget_bytes: int = 8 << 20,
+                           cin: int = 64, bytes_per_el: int = 2) -> int:
+    """Smallest 128-multiple window covering every sampled per-tile
+    union span (:func:`keymatch_window_spans`), bounded by
+    ``max_window`` and the double-buffered VMEM scratch budget.
+    ``samples``: iterable of (in_keys, q_keys) host arrays from real
+    scans.  Returns the bound itself if nothing smaller fits (expect
+    XLA fallbacks — check ``keymatch_fits``)."""
+    need = 128
+    for in_keys, qk in samples:
+        spans = keymatch_window_spans(np.asarray(in_keys),
+                                      np.asarray(qk), tile)
+        if spans.size:
+            need = max(need, int(-(-int(spans.max()) // 128) * 128))
+    vmem_cap = vmem_budget_bytes // (2 * cin * bytes_per_el) // 128 * 128
+    return int(min(max(need, 128), max_window, max(vmem_cap, 128)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
                   q_keys: jax.Array, weights: jax.Array,
                   interpret: bool | None = None, tile: int = 256,
-                  window: int = 768) -> jax.Array:
+                  window: int = 768, shared: bool = True) -> jax.Array:
     """features [N, Cin] x sorted keys [N] x query keys [K, M] x weights
     [K, Cin, Cout] -> [M, Cout] float32.
 
@@ -461,15 +728,21 @@ def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
     :func:`sparse_conv.strided_tap_keys`; INT32_MAX marks no-query.
     Layouts whose tile key-spans exceed the window (or unsorted keys)
     fall back to an exact XLA merge-join path inside the same jit.
+
+    ``shared=True`` (default): one per-tile window DMA serves all K
+    taps (~K-fold less HBM traffic; window must cover the tile's
+    cross-tap union span).  ``shared=False``: per-(tap, tile) windows.
     """
     return _keymatch_impl(features, in_keys, q_keys, weights,
-                          interpret=interpret, tile=tile, window=window)
+                          interpret=interpret, tile=tile, window=window,
+                          shared=shared)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "window"))
+                   static_argnames=("interpret", "tile", "window",
+                                    "shared"))
 def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
-                   tile=256, window=768):
+                   tile=256, window=768, shared=True):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 
@@ -499,12 +772,16 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
     if W > L:   # table smaller than one window: nothing to tile
         return xla_path((feats, keys, qk, None, w_cast))[:M]
 
-    win_start, fits = _keymatch_window_decision(keys, qk, L, TN, W)
+    decide = (_keymatch_shared_window_decision if shared
+              else _keymatch_window_decision)
+    kernel = (_pallas_keymatch_gemm_shared if shared
+              else _pallas_keymatch_gemm)
+    win_start, fits = decide(keys, qk, L, TN, W)
 
     def pallas_path(args):
         f, ky, q, wf, w = args
-        return _pallas_keymatch_gemm(f.T, ky, q, wf, w, TN=TN, W=W,
-                                     interpret=interpret)
+        return kernel(f.T, ky, q, wf, w, TN=TN, W=W,
+                      interpret=interpret)
 
     out = lax.cond(fits, pallas_path, xla_path,
                    (feats, keys, qk, win_start.reshape(-1), w_cast))
@@ -512,13 +789,14 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
 
 
 def _keymatch_fwd(features, in_keys, q_keys, weights, interpret, tile,
-                  window):
+                  window, shared):
     out = _keymatch_impl(features, in_keys, q_keys, weights,
-                         interpret=interpret, tile=tile, window=window)
+                         interpret=interpret, tile=tile, window=window,
+                         shared=shared)
     return out, (features, in_keys, q_keys, weights)
 
 
-def _keymatch_bwd(interpret, tile, window, res, dout):
+def _keymatch_bwd(interpret, tile, window, shared, res, dout):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 
@@ -529,8 +807,8 @@ def _keymatch_bwd(interpret, tile, window, res, dout):
     gather_idx = idx.reshape(K, M)
     found = hit.reshape(K, M)
     dfeats, _, _, dW = _gather_gemm_bwd(
-        interpret, tile, window, (features, gather_idx, found, weights),
-        dout)
+        interpret, tile, window, shared,
+        (features, gather_idx, found, weights), dout)
     return dfeats, None, None, dW
 
 

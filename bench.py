@@ -317,11 +317,16 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
 
     # --- key-match serving mode: the rulebook join happens inside the
     # Pallas kernel, so the only remaining per-scan construction is the
-    # strided blocks' output-site sort
-    vcfg_km = dataclasses.replace(vcfg, sparse_keymatch=True)
+    # strided blocks' output-site sort.  Its (shared) window is sized
+    # from this scan's measured per-tile union spans, independently of
+    # the rulebook-mode window.
+    km_window = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
+                                   vcfg.sparse_pallas_tile)
+    vcfg_km = dataclasses.replace(vcfg, sparse_keymatch=True,
+                                  sparse_pallas_window=km_window)
     model_km = VoxelNet(cfg=vcfg_km)
     km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
-                                  vcfg.sparse_pallas_tile, window)
+                                  vcfg.sparse_pallas_tile, km_window)
 
     def stage_full_km(i, pts0):
         r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
@@ -370,6 +375,7 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "second_fhd_host_prep_scans_per_sec": round(host_sps, 2),
         "pallas_window": window,
         "pallas_fallback_rate": round(fallback_rate, 3),
+        "keymatch_window": km_window,
         "keymatch_fallback_rate": round(km_miss, 3),
     }
 
@@ -400,6 +406,42 @@ def _device_rulebooks(jax, jnp, coords0, plan):
         coords = layout.out_coords
         valid = layout.out_valid
     return books
+
+
+def _keymatch_autotune(jax, jnp, coords0, plan, tile):
+    """Pick the base key-match window from this scan's measured
+    per-tile UNION spans (shared-window kernel): the base must cover
+    every subm join directly and every strided join after the
+    xy-stride-area scaling SparseMiddle applies."""
+    from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
+    from automatic_as_built_reconstruction_tpu.ops.pallas import (
+        sparse_gather_gemm as sgg)
+
+    need = 128
+    coords = coords0
+    valid = coords[..., 0] >= 0
+    for blk in plan:
+        in_keys = np.asarray(
+            jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords))
+        if blk.n_subm > 0:
+            qk = np.asarray(jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
+                c, v, b.grid, b.subm_kernel))(coords, valid))
+            spans = sgg.keymatch_window_spans(in_keys, qk, tile)
+            if spans.size:
+                need = max(need, -(-int(spans.max()) // 128) * 128)
+        sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
+            c, v, b.grid, b.kernel, b.stride, b.pad,
+            b.out_cap))(coords, valid)
+        qk = np.asarray(jax.jit(lambda s, b=blk: sc.strided_tap_keys(
+            s, b.grid, b.kernel, b.stride, b.pad))(sites))
+        spans = sgg.keymatch_window_spans(in_keys, qk, tile)
+        if spans.size:
+            area = int(blk.stride[1] * blk.stride[2])
+            base = -(-(-(-int(spans.max()) // area)) // 128) * 128
+            need = max(need, base)
+        coords, valid = sites.out_coords, sites.out_valid
+    vmem_cap = (8 << 20) // (2 * 64 * 2) // 128 * 128
+    return int(min(max(need, 128), 4096, max(vmem_cap, 128)))
 
 
 def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window):

@@ -37,11 +37,13 @@ def random_sparse(rng, n_active=60, n_pad=20, cin=8, sort_keys=True):
 
 
 class TestKeymatchGemm:
+    @pytest.mark.parametrize("shared", [True, False])
     @pytest.mark.parametrize("window", [80, 48])
-    def test_matches_submanifold_conv(self, window):
+    def test_matches_submanifold_conv(self, window, shared):
         """window=80 (== padded table) -> Pallas interpret path;
         window=48 -> some tiles over-span -> XLA merge-join fallback.
-        Both must be exact."""
+        Both must be exact, in both shared-window and per-tap-window
+        kernel modes."""
         rng = np.random.default_rng(0)
         feats, coords, valid = random_sparse(rng)
         rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
@@ -49,7 +51,8 @@ class TestKeymatchGemm:
         qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         ref = sc.submanifold_conv(feats, rb, w, valid=valid)
-        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, window)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, window,
+                                shared)
         out = jnp.where(valid[:, None], out, 0.0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
@@ -77,8 +80,9 @@ class TestKeymatchGemm:
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("shared", [True, False])
     @pytest.mark.parametrize("stride", [(2, 2, 2), (2, 1, 1)])
-    def test_matches_strided_conv(self, stride):
+    def test_matches_strided_conv(self, stride, shared):
         rng = np.random.default_rng(1)
         feats, coords, valid = random_sparse(rng)
         kernel, pad, max_out = (3, 3, 3), (1, 1, 1), 48
@@ -92,7 +96,7 @@ class TestKeymatchGemm:
         qk = sc.strided_tap_keys(sites, GRID, kernel, stride, pad)
         w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
         ref = sc.strided_sparse_conv(feats, layout, w)
-        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80, shared)
         out = jnp.where(sites.out_valid[:, None], out, 0.0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
