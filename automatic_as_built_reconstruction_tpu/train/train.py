@@ -350,11 +350,19 @@ def train(config_path, model_dir, *, resume: bool = True,
                 logger.text(f"profile trace written to "
                             f"{model_dir / 'profile'}")
                 profile_steps = 0
-            pr.update(jax.device_get(metrics.pop("pr")))
+            # keep metrics as device arrays: a float()/device_get here
+            # would sync every step, serializing host dispatch with the
+            # device (expensive over a high-latency PJRT relay). All
+            # transfers happen once per display window.
+            window.setdefault("pr", []).append(metrics.pop("pr"))
             for k, v in metrics.items():
-                window.setdefault(k, []).append(float(v))
+                window.setdefault(k, []).append(v)
             if step % display_step == 0:
-                avg = {k: float(np.mean(v)) for k, v in window.items()}
+                host = jax.device_get(window)
+                for p in host.pop("pr"):
+                    pr.update(p)
+                avg = {k: float(np.mean([float(x) for x in v]))
+                       for k, v in host.items()}
                 avg["steps_per_sec"] = (
                     display_step / max(time.time() - t_window, 1e-9))
                 logger.log(step, avg)
