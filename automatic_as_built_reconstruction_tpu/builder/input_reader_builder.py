@@ -68,11 +68,16 @@ def _prep_config(pp, class_names, out_size_factor) -> PrepConfig:
 
 
 def build(input_cfg, training: bool, voxel_generator, target_assigner,
-          feature_map_size, seed: int = 0, middle_plan=None):
+          feature_map_size, seed: int = 0, middle_plan=None,
+          capacity_shrink=None, out_caps=None):
     """Returns (PrepDataset, BatchLoader).
 
     ``middle_plan``: sparse-middle block plan for host rulebook precompute
     (see models.voxelnet.middle_plan / ops.rulebook_host).
+    ``capacity_shrink`` / ``out_caps``: the model's capacity policy —
+    bucket re-plans must use the SAME values (out_caps scaled by
+    bucket/v_cap) or host rulebook shapes would diverge from the model's
+    plan.
     """
     class_names = list(input_cfg.class_names)
     dataset = _build_dataset(input_cfg.dataset, class_names, training)
@@ -116,7 +121,13 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
             # scan [ref: SURVEY.md §5.7]
             from ..ops import sparse_conv as sc
             grid, specs = sc.respec(middle_plan)
-            bucket_plans = {b: sc.plan_from_specs(grid, b, specs)
+            # out_caps are used VERBATIM at every bucket (the model's
+            # plan(V=bucket) does the same) — bucketing then saves on
+            # block0's subm stack + rulebooks, while the post-expansion
+            # blocks keep their measured data-dependent capacity
+            bucket_plans = {b: sc.plan_from_specs(grid, b, specs,
+                                                  capacity_shrink,
+                                                  out_caps=out_caps)
                             for b in buckets}
 
     prep_fn = functools.partial(

@@ -139,10 +139,15 @@ class SparseMiddle(nn.Module):
     # SpMiddleFHD et al. get their exact per-variant architectures
     # (models/middle_plans.py)
     blocks: Tuple[sc.BlockSpec, ...] | None = None
-    # active-site capacity multiplier applied after each strided conv
-    # (stride-2 downsampling empirically shrinks active counts by ~2-4x;
-    # rulebook/layout construction cost scales with the padded capacity)
-    capacity_shrink: float = 0.6
+    # active-site capacity multiplier applied after each strided conv.
+    # None -> expansion-aware heuristic (a strided SparseConv DILATES
+    # the active set, ~3x at the first downsample); explicit per-block
+    # ``out_caps`` measured from data (ops.sparse_conv.measure_site_caps)
+    # are preferred for production — watch the mid_capacity_saturated
+    # training metric (see plan_from_specs for the truncation failure
+    # mode that pinned the synthetic-KITTI FHD run at prior loss)
+    capacity_shrink: float | None = None
+    out_caps: Tuple[int, ...] | None = None
     min_capacity: int = 2048
     # compute dtype for gathers + GEMMs (bfloat16 halves the gather
     # bandwidth and runs the GEMMs at MXU rate; BN stats stay fp32)
@@ -180,11 +185,11 @@ class SparseMiddle(nn.Module):
             specs = tuple(sc.BlockSpec(*b) for b in self.blocks)
             return sc.plan_from_specs(self.grid_dhw, v_cap, specs,
                                       self.capacity_shrink,
-                                      self.min_capacity)
+                                      self.min_capacity, self.out_caps)
         return sc.make_plan(self.grid_dhw, v_cap, self.num_filters,
                             self.layers_per_block, self.z_strides,
                             self.xy_strides, self.capacity_shrink,
-                            self.min_capacity)
+                            self.min_capacity, self.out_caps)
 
     @nn.compact
     def __call__(self, voxel_features, coords, *, train: bool = False,

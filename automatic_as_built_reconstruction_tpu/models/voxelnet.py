@@ -76,10 +76,13 @@ def middle_plan(cfg: "VoxelNetConfig", v_cap: int):
                 cfg.grid_size[0])
     if cfg.middle_blocks is not None:
         specs = tuple(sc.BlockSpec(*b) for b in cfg.middle_blocks)
-        return sc.plan_from_specs(grid_dhw, v_cap, specs)
+        return sc.plan_from_specs(grid_dhw, v_cap, specs,
+                                  cfg.sparse_capacity_shrink,
+                                  out_caps=cfg.sparse_out_caps)
     return sc.make_plan(grid_dhw, v_cap, cfg.middle_num_filters,
                         cfg.middle_layers_per_block, cfg.middle_z_strides,
-                        cfg.middle_xy_strides)
+                        cfg.middle_xy_strides, cfg.sparse_capacity_shrink,
+                        out_caps=cfg.sparse_out_caps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +148,17 @@ class VoxelNetConfig:
                                           # sgg.choose_window)
     sparse_keymatch: bool = False         # join keys INSIDE the kernel
                                           # (serving: no rulebook build)
+    sparse_capacity_shrink: Optional[float] = None
+                                          # middle active-site capacity
+                                          # multiplier per strided conv;
+                                          # None -> expansion-aware
+                                          # heuristic (strided SparseConv
+                                          # DILATES the active set ~3x)
+    sparse_out_caps: Optional[Tuple[int, ...]] = None
+                                          # exact per-block site caps
+                                          # measured from data
+                                          # (sc.measure_site_caps /
+                                          # out_site_caps config field)
     # post-processing
     post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
@@ -214,6 +228,8 @@ class VoxelNet(nn.Module):
                 kwargs["pallas_window"] = cfg.sparse_pallas_window
                 kwargs["use_keymatch"] = cfg.sparse_keymatch
                 kwargs["blocks"] = cfg.middle_blocks
+                kwargs["capacity_shrink"] = cfg.sparse_capacity_shrink
+                kwargs["out_caps"] = cfg.sparse_out_caps
                 grid_dhw = (grid_dhw[0] + cfg.middle_zpad, grid_dhw[1],
                             grid_dhw[2])
             middle = middle_cls(

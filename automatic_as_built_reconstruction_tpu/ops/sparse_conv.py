@@ -21,7 +21,7 @@ densified inputs (the spconv test pattern).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,26 +106,61 @@ def _out_grid(grid, pad, kernel, stride):
 
 def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
                     specs: Tuple[BlockSpec, ...],
-                    capacity_shrink: float = 0.6,
-                    min_capacity: int = 2048) -> Tuple[BlockPlan, ...]:
+                    capacity_shrink: Optional[float] = None,
+                    min_capacity: int = 2048,
+                    out_caps: Optional[Sequence[int]] = None,
+                    ) -> Tuple[BlockPlan, ...]:
     """Explicit per-block specs -> capacity-annotated BlockPlans.
 
-    Capacity after each strided conv shrinks by ``capacity_shrink`` when
-    the conv downsamples in >= 2 axes (active sites merge aggressively);
-    z-only downsamples keep ~0.85 of the sites.  Raises ValueError if the
-    grid is too small for the plan (some output dim would be empty).
+    Capacity sizing matters: a non-submanifold SparseConv EXPANDS the
+    active-site set (kernel 3 / stride 2: up to 8 output sites per
+    input; measured 2.5-4x on lidar scans at the first strided block,
+    ~1x at later blocks as the thickened surface saturates the coarser
+    grid).  A block whose true output count exceeds its static
+    ``out_cap`` truncates in sorted-key order — it silently drops the
+    HIGHEST z-slices of the scene, which pinned the synthetic-KITTI FHD
+    run at prior loss (every block saturated at the old 0.6-shrink
+    default).  Three sizing modes:
+
+    - ``out_caps``: explicit per-block capacities (preferred — size them
+      from data with :func:`measure_site_caps`); rounded up to 128.
+    - ``capacity_shrink``: uniform multiplier on the running capacity
+      after each >=2-axis strided conv (z-only convs keep ~max(it,.85)).
+      Only safe below ~3 with measured headroom.
+    - neither (default): expansion-aware heuristic — 3.0x for the first
+      >=2-axis downsample, 1.25x for later ones, 1.0x for z-only, all
+      capped at 4x the stack's input capacity.  Overshoots on purpose;
+      use measured ``out_caps`` for production speed.
+
+    Raises ValueError if the grid is too small for the plan (some output
+    dim would be empty).
     """
     blocks = []
     grid = tuple(int(g) for g in grid_dhw)
     cap = int(v_cap)
-    for s in specs:
+    seen_ds = False
+    for i, s in enumerate(specs):
         og = _out_grid(grid, s.pad, s.kernel, s.stride)
         if any(g < 1 for g in og):
             raise ValueError(
                 f"grid {grid} too small for block {s} (out grid {og})")
         n_ds_axes = sum(1 for st in s.stride if st > 1)
-        shrink = capacity_shrink if n_ds_axes >= 2 else 0.85
-        next_cap = max(int(cap * shrink), min(min_capacity, cap))
+        if out_caps is not None:
+            next_cap = int(out_caps[i])
+        elif capacity_shrink is not None:
+            shrink = (capacity_shrink if n_ds_axes >= 2
+                      else min(1.0, max(capacity_shrink, 0.85)))
+            next_cap = int(cap * shrink)
+        else:
+            if n_ds_axes >= 2:
+                mult = 1.25 if seen_ds else 3.0
+                seen_ds = True
+            else:
+                mult = 1.0
+            next_cap = min(int(cap * mult), 4 * int(v_cap))
+        next_cap = max(next_cap, min(min_capacity, cap))
+        # never exceed the output grid itself (tiny test grids)
+        next_cap = min(next_cap, int(np.prod(og)))
         next_cap = ((next_cap + 127) // 128) * 128
         blocks.append(BlockPlan(
             grid=grid, out_grid=og, kernel=tuple(s.kernel),
@@ -134,6 +169,63 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
             subm_cout=int(s.subm_cout), subm_kernel=(3, 3, 3)))
         grid, cap = og, next_cap
     return tuple(blocks)
+
+
+def strided_out_sites_np(coords: np.ndarray, grid: Tuple[int, int, int],
+                         kernel, stride, pad,
+                         out_grid: Tuple[int, int, int]) -> np.ndarray:
+    """Exact spconv output-site set of one strided conv, on host.
+
+    ``coords``: [N, 3] int (z, y, x), -1-padded rows allowed.  Returns
+    the sorted unique [M, 3] output coordinates — the ground truth the
+    device builders' capacity must cover.
+    """
+    pts = coords[coords[:, 0] >= 0].astype(np.int64)
+    if pts.size == 0:
+        return np.zeros((0, 3), np.int64)
+    keys = []
+    for dz in range(kernel[0]):
+        for dy in range(kernel[1]):
+            for dx in range(kernel[2]):
+                o = pts + np.array([pad[0] - dz, pad[1] - dy, pad[2] - dx])
+                m = ((o % np.array(stride)) == 0).all(1)
+                o = o[m] // np.array(stride)
+                m = ((o >= 0) & (o < np.array(out_grid))).all(1)
+                o = o[m]
+                keys.append((o[:, 0] * out_grid[1] + o[:, 1])
+                            * out_grid[2] + o[:, 2])
+    uniq = np.unique(np.concatenate(keys))
+    z = uniq // (out_grid[1] * out_grid[2])
+    y = (uniq // out_grid[2]) % out_grid[1]
+    x = uniq % out_grid[2]
+    return np.stack([z, y, x], axis=1)
+
+
+def measure_site_caps(coords_iter, grid_dhw: Tuple[int, int, int],
+                      specs: Tuple[BlockSpec, ...], *,
+                      safety: float = 1.15,
+                      round_to: int = 128) -> Tuple[int, ...]:
+    """Exact per-block output-site capacities measured over sample scans.
+
+    ``coords_iter``: iterable of [V, 3] (z, y, x) int voxel coords
+    (-1-padded rows ok).  Runs every scan through the plan's strided
+    convs on host, takes the per-block max count over scans, applies
+    ``safety`` headroom and rounds up to ``round_to``.  Feed the result
+    to ``plan_from_specs(out_caps=...)`` / the ``out_site_caps`` config
+    field for truncation-free static shapes sized to the data.
+    """
+    grid0 = tuple(int(g) for g in grid_dhw)
+    maxes = [0] * len(specs)
+    for coords in coords_iter:
+        c = np.asarray(coords)
+        grid = grid0
+        for i, s in enumerate(specs):
+            og = _out_grid(grid, s.pad, s.kernel, s.stride)
+            c = strided_out_sites_np(c, grid, s.kernel, s.stride, s.pad, og)
+            maxes[i] = max(maxes[i], len(c))
+            grid = og
+    return tuple(int(-(-int(m * safety) // round_to)) * round_to
+                 for m in maxes)
 
 
 def respec(plan: Tuple[BlockPlan, ...]) -> Tuple[Tuple[int, int, int],
@@ -151,8 +243,10 @@ def respec(plan: Tuple[BlockPlan, ...]) -> Tuple[Tuple[int, int, int],
 
 def make_plan(grid_dhw: Tuple[int, int, int], v_cap: int,
               num_filters, layers_per_block, z_strides, xy_strides,
-              capacity_shrink: float = 0.6,
-              min_capacity: int = 2048) -> Tuple[BlockPlan, ...]:
+              capacity_shrink: Optional[float] = None,
+              min_capacity: int = 2048,
+              out_caps: Optional[Sequence[int]] = None,
+              ) -> Tuple[BlockPlan, ...]:
     """The legacy-parameterized conv plan for a SparseMiddle stack
     (uniform 3x3x3 kernels; subm channels == strided channels).  Lineage
     names go through explicit ``BlockSpec`` plans instead
@@ -164,7 +258,7 @@ def make_plan(grid_dhw: Tuple[int, int, int], v_cap: int,
         for c, n, zs, xys in zip(num_filters, layers_per_block,
                                  z_strides, xy_strides))
     return plan_from_specs(grid_dhw, v_cap, specs, capacity_shrink,
-                           min_capacity)
+                           min_capacity, out_caps)
 
 
 class SubmanifoldRulebook(NamedTuple):

@@ -59,7 +59,9 @@ class Bundle:
         plan = voxelnet_mod.middle_plan(self.model_cfg, v_cap)
         return input_reader_builder.build(
             reader_cfg, training, self.voxel_generator, self.target_assigner,
-            self.feature_map_size, seed=seed, middle_plan=plan)
+            self.feature_map_size, seed=seed, middle_plan=plan,
+            capacity_shrink=self.model_cfg.sparse_capacity_shrink,
+            out_caps=self.model_cfg.sparse_out_caps)
 
 
 def make_mesh(num_devices: Optional[int]) -> Optional[Mesh]:

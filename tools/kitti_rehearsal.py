@@ -29,12 +29,21 @@ sys.path.insert(0, str(REPO))
 
 def make_config(data_root: str, steps: int, batch_size: int,
                 lr_max: float,
-                config_rel: str = "second/car/car.fhd.config") -> str:
+                config_rel: str = "second/car/car.fhd.config",
+                out_caps: tuple = ()) -> str:
     from automatic_as_built_reconstruction_tpu import builder
 
     cfg = builder.load_config(
         REPO / "automatic_as_built_reconstruction_tpu" / "configs"
         / config_rel)
+    if out_caps:
+        # data-measured per-block active-site capacities (see
+        # ops.sparse_conv.measure_site_caps): the strided SparseConvs
+        # EXPAND the active set ~3x at FHD, and undersized caps truncate
+        # the highest z-slices — the round-3 convergence failure
+        mid = cfg.model.second.middle_feature_extractor
+        del mid.out_site_caps[:]
+        mid.out_site_caps.extend(int(c) for c in out_caps)
     for reader, info in ((cfg.train_input_reader, "kitti_infos_train.pkl"),
                          (cfg.eval_input_reader, "kitti_infos_val.pkl")):
         reader.dataset.kitti_root_path = data_root
@@ -89,6 +98,10 @@ def main():
     ap.add_argument("--config", default="second/car/car.fhd.config",
                     help="config path relative to abr/configs/ "
                          "(e.g. second/all.fhd.config for multi-class)")
+    ap.add_argument("--out_caps", default="49280,51968,29696,28800",
+                    help="comma-separated measured per-block site caps "
+                         "(ops.sparse_conv.measure_site_caps); empty -> "
+                         "heuristic default")
     ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
@@ -96,9 +109,11 @@ def main():
     model_dir.mkdir(parents=True, exist_ok=True)
     cfg_path = model_dir / "rehearsal.config"
     if not cfg_path.exists() or not args.eval_only:
+        caps = tuple(int(c) for c in args.out_caps.split(",") if c)
         cfg_path.write_text(make_config(args.data_root, args.steps,
                                         args.batch_size, args.lr_max,
-                                        config_rel=args.config))
+                                        config_rel=args.config,
+                                        out_caps=caps))
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:
