@@ -283,6 +283,17 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     _progress("fhd: voxelizing sample batch")
     vox0 = jax.vmap(voxelize)(jnp.asarray(base), num_valid)
 
+    # --- size the middle stack's static site capacities from the data
+    # (a strided SparseConv EXPANDS active sites ~3x at the first FHD
+    # block; undersized caps silently truncate the highest z-slices —
+    # this is the production sizing pattern, see sc.measure_site_caps)
+    from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
+    grid_dhw, specs = sc.respec(voxelnet_mod.middle_plan(vcfg, VCAP))
+    site_caps = sc.measure_site_caps(
+        list(np.asarray(vox0.coords)), grid_dhw, specs, safety=1.1)
+    vcfg = dataclasses.replace(vcfg, sparse_out_caps=site_caps)
+    _progress(f"fhd: measured middle site caps {site_caps}")
+
     # --- Pallas window autotune + fallback telemetry on real rulebooks
     plan = voxelnet_mod.middle_plan(vcfg, VCAP)
     _progress("fhd: building telemetry rulebooks on device")
