@@ -75,9 +75,9 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
     ``middle_plan``: sparse-middle block plan for host rulebook precompute
     (see models.voxelnet.middle_plan / ops.rulebook_host).
     ``capacity_shrink`` / ``out_caps``: the model's capacity policy —
-    bucket re-plans must use the SAME values (out_caps scaled by
-    bucket/v_cap) or host rulebook shapes would diverge from the model's
-    plan.
+    bucket re-plans use out_caps VERBATIM at every bucket (matching the
+    model's plan(V=bucket)) or host rulebook shapes would diverge from
+    the model's plan.
     """
     class_names = list(input_cfg.class_names)
     dataset = _build_dataset(input_cfg.dataset, class_names, training)

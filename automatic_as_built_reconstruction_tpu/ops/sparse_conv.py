@@ -117,10 +117,11 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
     input; measured 2.5-4x on lidar scans at the first strided block,
     ~1x at later blocks as the thickened surface saturates the coarser
     grid).  A block whose true output count exceeds its static
-    ``out_cap`` truncates in sorted-key order — it silently drops the
-    HIGHEST z-slices of the scene, which pinned the synthetic-KITTI FHD
-    run at prior loss (every block saturated at the old 0.6-shrink
-    default).  Three sizing modes:
+    ``out_cap`` truncates in sorted-key order — with the depth-minor
+    key ((y*W + x)*D + z) that silently drops the highest-y BEV rows of
+    the scene, which pinned the synthetic-KITTI FHD run at prior loss
+    (every block saturated at the old 0.6-shrink default).  Three
+    sizing modes:
 
     - ``out_caps``: explicit per-block capacities (preferred — size them
       from data with :func:`measure_site_caps`); rounded up to 128.
@@ -128,13 +129,21 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
       after each >=2-axis strided conv (z-only convs keep ~max(it,.85)).
       Only safe below ~3 with measured headroom.
     - neither (default): expansion-aware heuristic — 3.0x for the first
-      >=2-axis downsample, 1.25x for later ones, 1.0x for z-only, all
-      capped at 4x the stack's input capacity.  Overshoots on purpose;
-      use measured ``out_caps`` for production speed.
+      downsample whose kernel dilates (is >1 in) any non-strided axis,
+      1.25x for later ones, 1.0x only for pure-collapse convs whose
+      kernel is 1 in every non-strided axis (e.g. (3,1,1) z-collapse),
+      all capped at 4x the stack's input capacity.  Overshoots on
+      purpose; use measured ``out_caps`` for production speed.
 
     Raises ValueError if the grid is too small for the plan (some output
     dim would be empty).
     """
+    if out_caps is not None and len(out_caps) != len(specs):
+        raise ValueError(
+            f"out_site_caps has {len(out_caps)} entries but the middle "
+            f"stack has {len(specs)} strided blocks — caps measured for a "
+            f"different middle variant? (use measure_site_caps on this "
+            f"plan, or clear out_site_caps for the heuristic)")
     blocks = []
     grid = tuple(int(g) for g in grid_dhw)
     cap = int(v_cap)
@@ -145,6 +154,13 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
             raise ValueError(
                 f"grid {grid} too small for block {s} (out grid {og})")
         n_ds_axes = sum(1 for st in s.stride if st > 1)
+        # A strided conv EXPANDS the active set whenever its kernel is >1
+        # in any axis it does not stride (the tap dilates that axis) —
+        # e.g. a 3x3x3 kernel with z-only stride still dilates y/x ~9x on
+        # scattered coords.  Only a pure-collapse kernel (1 in every
+        # non-strided axis, like (3,1,1) z-collapse) is non-expanding.
+        dilates = any(k > 1 and st == 1
+                      for k, st in zip(s.kernel, s.stride))
         if out_caps is not None:
             next_cap = int(out_caps[i])
         elif capacity_shrink is not None:
@@ -152,7 +168,7 @@ def plan_from_specs(grid_dhw: Tuple[int, int, int], v_cap: int,
                       else min(1.0, max(capacity_shrink, 0.85)))
             next_cap = int(cap * shrink)
         else:
-            if n_ds_axes >= 2:
+            if n_ds_axes >= 2 or dilates:
                 mult = 1.25 if seen_ds else 3.0
                 seen_ds = True
             else:

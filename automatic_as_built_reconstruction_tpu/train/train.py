@@ -284,10 +284,16 @@ class MetricsLogger:
         self._log.flush()
 
 
+class CapacitySaturationError(RuntimeError):
+    """Sparse-middle static capacities are truncating active sites —
+    training would silently converge to garbage (the round-3 failure
+    mode: 2500 steps at AP 0.00)."""
+
+
 def train(config_path, model_dir, *, resume: bool = True,
           max_steps: Optional[int] = None, display_step: int = 50,
           seed: int = 0, num_devices: Optional[int] = None,
-          profile_steps: int = 0):
+          profile_steps: int = 0, saturation_abort_windows: int = 3):
     """Full training loop with checkpoint/resume and in-loop eval.
 
     ``num_devices > 1`` trains data-parallel over a 1-D device mesh:
@@ -297,6 +303,13 @@ def train(config_path, model_dir, *, resume: bool = True,
     ``profile_steps > 0`` captures a jax.profiler trace of that many steps
     (skipping compilation) to ``<model_dir>/profile`` for
     tensorboard-plugin-profile.
+
+    ``saturation_abort_windows``: abort with CapacitySaturationError when
+    the ``mid_capacity_saturated`` telemetry stays > 0 for this many
+    consecutive display windows — static sparse-middle capacities are
+    dropping active sites and every further step is wasted.  Fix by
+    sizing ``middle_feature_extractor.out_site_caps`` from the data with
+    ``ops.sparse_conv.measure_site_caps``.  0 disables the guard.
     """
     model_dir = pathlib.Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
@@ -337,6 +350,7 @@ def train(config_path, model_dir, *, resume: bool = True,
     window: Dict[str, list] = {}
     pr = metrics_mod.PrecisionRecall()
     t_window = time.time()
+    sat_windows = 0
     try:
         for batch in loader:
             if step >= total_steps:
@@ -372,6 +386,31 @@ def train(config_path, model_dir, *, resume: bool = True,
                 pr.clear()
                 window.clear()
                 t_window = time.time()
+                if avg.get("mid_capacity_saturated", 0.0) > 0:
+                    sat_windows += 1
+                    logger.text(
+                        f"WARNING: mid_capacity_saturated="
+                        f"{avg['mid_capacity_saturated']:.1f} — sparse "
+                        f"middle is TRUNCATING active sites "
+                        f"({sat_windows}/{saturation_abort_windows} "
+                        f"consecutive windows before abort)")
+                    if (saturation_abort_windows
+                            and sat_windows >= saturation_abort_windows):
+                        mgr.save(step, jax.device_get(state), force=True)
+                        raise CapacitySaturationError(
+                            "mid_capacity_saturated > 0 for "
+                            f"{sat_windows} consecutive display windows: "
+                            "the sparse middle's static out_site_caps are "
+                            "too small and active sites are being dropped "
+                            "(training would silently fail, see round-3 "
+                            "AP-0.00 rehearsal). Size "
+                            "model.second.middle_feature_extractor."
+                            "out_site_caps from your data with "
+                            "automatic_as_built_reconstruction_tpu.ops."
+                            "sparse_conv.measure_site_caps, or clear it "
+                            "for the expansion-aware heuristic.")
+                else:
+                    sat_windows = 0
             if time.time() - last_save > save_secs:
                 mgr.save(step, jax.device_get(state))
                 last_save = time.time()

@@ -51,6 +51,60 @@ V5E_BF16_PEAK_FLOPS = 197e12   # TPU v5e chip, bf16 (public spec)
 # {"smoke": true}.
 SMOKE = os.environ.get("ABR_BENCH_SMOKE") == "1"
 
+# ABR_BENCH_FULL=1: re-run the expensive autotune/telemetry path (device
+# rulebook construction + Pallas window sweeps, ~17 min on the relay) and
+# refresh bench_cache.json.  The default run loads the cached windows —
+# they are deterministic config constants for the fixed bench scenes —
+# keeping the whole bench inside the driver's capture budget (the r3
+# driver run timed out at ~4 min with nothing printed: BENCH_r03.json
+# rc=124 parsed=null).
+FULL = os.environ.get("ABR_BENCH_FULL") == "1"
+CACHE_PATH = pathlib.Path(__file__).parent / "bench_cache.json"
+
+
+def _cache_load(params: dict):
+    """Cached autotune results if the cache matches ``params`` exactly."""
+    if FULL or SMOKE:
+        return None
+    try:
+        data = json.loads(CACHE_PATH.read_text())
+    except Exception:
+        return None
+    if data.get("params") != params:
+        return None
+    return data
+
+
+def _cache_store(params: dict, values: dict):
+    if SMOKE:
+        return
+    CACHE_PATH.write_text(json.dumps(
+        {"params": params, **values}, indent=1, sort_keys=True) + "\n")
+    _progress(f"autotune cache written to {CACHE_PATH.name}")
+
+
+_EMITTED = {}
+
+
+def _emit(full_sps: float, extra: dict):
+    """Print the headline JSON line NOW with whatever is measured so far.
+
+    Called after every section: even if the driver kills the bench
+    mid-run, stdout already holds a complete, parseable record (the last
+    line printed wins).
+    """
+    _EMITTED.update(extra)
+    out = dict(_EMITTED)
+    if SMOKE:
+        out["smoke"] = True
+    print(json.dumps({
+        "metric": "pillar_full_pipeline_scans_per_sec_per_chip",
+        "value": round(full_sps, 2),
+        "unit": "scans/sec",
+        "vs_baseline": round(full_sps / PILLAR_BASELINE_SPS, 3),
+        "extra": out,
+    }), flush=True)
+
 
 def make_scene(seed: int, n_points: int = NUM_POINTS) -> np.ndarray:
     """Structured scan: ground plane + ~40 car-like clusters + clutter."""

@@ -67,6 +67,27 @@ class TestPlanRegistry:
         # the sparse-dryrun micro grid (z=8) cannot host the FHD plan
         assert middle_plans.lookup("SpMiddleFHD", (8, 16, 16)) is None
 
+    def test_zonly_stride_with_dilating_kernel_expands(self):
+        """A 3x3x3 kernel with z-only stride dilates y/x and EXPANDS the
+        active set — the heuristic must give it the expansion schedule,
+        not the 1.0 pure-collapse multiplier (advisor r3 medium)."""
+        grid = (32, 256, 256)
+        v_cap = 8192
+        dilating = (sc.BlockSpec(0, -1, 16, (3, 3, 3), (2, 1, 1),
+                                 (1, 1, 1)),)
+        plan = sc.plan_from_specs(grid, v_cap, dilating)
+        assert plan[0].out_cap >= 3 * v_cap            # 3.0x schedule
+        collapse = (sc.BlockSpec(0, -1, 16, (3, 1, 1), (2, 1, 1),
+                                 (0, 0, 0)),)
+        plan = sc.plan_from_specs(grid, v_cap, collapse)
+        assert plan[0].out_cap <= v_cap + 128          # true z-collapse
+
+    def test_out_caps_length_validated(self):
+        specs = middle_plans.lookup("SpMiddleFHD", FHD_GRID)
+        with pytest.raises(ValueError, match="4 strided blocks"):
+            sc.plan_from_specs((41, 1600, 1408), 16000, specs,
+                               out_caps=(1000, 2000))
+
 
 class TestCarFHDConfigBuildsLineageStack:
     @pytest.fixture(scope="class")

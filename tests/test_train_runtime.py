@@ -183,6 +183,29 @@ class TestSparseTrainRuntime:
         assert "mAP.bev" in result
         assert np.isfinite(result["mAP.bev"])
 
+    def test_capacity_saturation_aborts(self, sparse_micro_cfg_path,
+                                        tmp_path, monkeypatch):
+        """Persistent mid_capacity_saturated > 0 must abort training
+        loudly (the round-3 failure burned 2500 steps silently)."""
+        real_make = train_mod.make_train_step
+
+        def make_saturating(bundle, tx, mesh=None):
+            step_fn = real_make(bundle, tx, mesh=mesh)
+
+            def wrapped(state, example):
+                state, metrics = step_fn(state, example)
+                metrics = dict(metrics,
+                               mid_capacity_saturated=np.float32(3.0))
+                return state, metrics
+            return wrapped
+
+        monkeypatch.setattr(train_mod, "make_train_step", make_saturating)
+        with pytest.raises(train_mod.CapacitySaturationError,
+                           match="measure_site_caps"):
+            train_mod.train(sparse_micro_cfg_path, tmp_path / "sat_run",
+                            max_steps=10, display_step=1,
+                            saturation_abort_windows=2)
+
 
 class TestPodFromCheckpoint:
     def test_serving_entry_point(self, micro_cfg_path, tmp_path):

@@ -98,10 +98,12 @@ def main():
     ap.add_argument("--config", default="second/car/car.fhd.config",
                     help="config path relative to abr/configs/ "
                          "(e.g. second/all.fhd.config for multi-class)")
-    ap.add_argument("--out_caps", default="49280,51968,29696,28800",
+    ap.add_argument("--out_caps", default="auto",
                     help="comma-separated measured per-block site caps "
-                         "(ops.sparse_conv.measure_site_caps); empty -> "
-                         "heuristic default")
+                         "(ops.sparse_conv.measure_site_caps); 'auto' -> "
+                         "the measured car.fhd values for the default "
+                         "config, expansion-aware heuristic otherwise; "
+                         "empty -> heuristic")
     ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
@@ -109,6 +111,14 @@ def main():
     model_dir.mkdir(parents=True, exist_ok=True)
     cfg_path = model_dir / "rehearsal.config"
     if not cfg_path.exists() or not args.eval_only:
+        if args.out_caps == "auto":
+            # caps measured with measure_site_caps over synthetic-KITTI
+            # train scans at the default car.fhd grid/buckets; for any
+            # other config they would be wrong-length or wrong-valued,
+            # so fall back to the expansion-aware heuristic
+            args.out_caps = ("49280,51968,29696,28800"
+                             if args.config == "second/car/car.fhd.config"
+                             else "")
         caps = tuple(int(c) for c in args.out_caps.split(",") if c)
         cfg_path.write_text(make_config(args.data_root, args.steps,
                                         args.batch_size, args.lr_max,
