@@ -153,5 +153,6 @@ def build(input_cfg, training: bool, voxel_generator, target_assigner,
         drop_last=training,
         buckets=buckets,
         bucket_plans=bucket_plans,
+        process_workers=input_cfg.process_workers,
     )
     return prep_ds, loader

@@ -97,6 +97,8 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         use_direction_classifier=model_cfg.use_direction_classifier,
         num_direction_bins=int(model_cfg.num_direction_bins) or 2,
         direction_offset=model_cfg.direction_offset,
+        use_yaw_quality_head=model_cfg.use_yaw_quality_head,
+        yaw_quality_weight=model_cfg.yaw_quality_weight or 1.0,
         encode_rad_error_by_sin=model_cfg.encode_rad_error_by_sin,
         sin_error_factor=model_cfg.sin_error_factor or 1.0,
         cls_weight=loss.cls_weight,

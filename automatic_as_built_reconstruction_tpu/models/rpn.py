@@ -74,6 +74,7 @@ class RPN(nn.Module):
     use_direction_classifier: bool = True
     num_direction_bins: int = 2
     encode_background_as_zeros: bool = True
+    use_yaw_quality: bool = False
     dtype: type = jnp.float32
 
     @nn.compact
@@ -109,4 +110,13 @@ class RPN(nn.Module):
             ret["dir_cls_preds"] = nn.Conv(
                 self.num_anchor_per_loc * self.num_direction_bins, (1, 1),
                 name="conv_dir_cls", dtype=self.dtype)(x)
+        if self.use_yaw_quality:
+            # per-anchor yaw-quality logit (see voxelnet.compute_loss);
+            # bias init 2.0 -> sigmoid ~0.88, so a fresh head leaves the
+            # absolute detection scores (and the nms_score_threshold
+            # semantics) nearly unchanged until it learns
+            ret["quality_preds"] = nn.Conv(
+                self.num_anchor_per_loc, (1, 1), name="conv_quality",
+                dtype=self.dtype,
+                bias_init=nn.initializers.constant(2.0))(x)
         return ret

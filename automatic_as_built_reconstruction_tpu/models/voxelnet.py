@@ -130,6 +130,11 @@ class VoxelNetConfig:
     cls_weight: float = 1.0
     loc_weight: float = 2.0
     dir_weight: float = 0.2
+    # yaw-quality head: per-anchor logit trained against
+    # |cos(pred_yaw - gt_yaw)| on positives, multiplied into the
+    # detection score at predict time (thin-class yaw-ranking fix)
+    use_yaw_quality_head: bool = False
+    yaw_quality_weight: float = 1.0
     pos_cls_weight: float = 1.0
     neg_cls_weight: float = 1.0
     focal_gamma: float = 2.0
@@ -258,6 +263,7 @@ class VoxelNet(nn.Module):
                   use_direction_classifier=cfg.use_direction_classifier,
                   num_direction_bins=cfg.num_direction_bins,
                   encode_background_as_zeros=cfg.encode_background_as_zeros,
+                  use_yaw_quality=cfg.use_yaw_quality_head,
                   dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else jnp.float32))
         preds = rpn(spatial, train=train)
@@ -284,6 +290,8 @@ def _flatten_preds(preds: Dict[str, jax.Array], cfg: VoxelNetConfig):
     if "dir_cls_preds" in preds:
         out["dir_cls_preds"] = preds["dir_cls_preds"].reshape(
             B, -1, cfg.num_direction_bins)
+    if "quality_preds" in preds:
+        out["quality_preds"] = preds["quality_preds"].reshape(B, -1)
     return out
 
 
@@ -340,8 +348,34 @@ def compute_loss(preds: Dict[str, jax.Array], example: Dict[str, jax.Array],
         total = total + cfg.dir_weight * dir_loss
         metrics["loss_dir"] = dir_loss
 
+    if cfg.use_yaw_quality_head and "quality_preds" in p:
+        # quality target: |cos(pred_yaw - gt_yaw)| per positive anchor.
+        # Both yaws are residuals against the same anchor, so their
+        # difference IS the prediction's yaw error; |cos| folds the
+        # 180-degree ambiguity (the direction head owns the sign) and
+        # hits 0 at perpendicular — exactly the wrong-yaw-duplicate
+        # failure the head must learn to score down.  The box head is
+        # stop-gradiented: quality grades the yaw estimate, it must not
+        # steer it.
+        yaw_err = (jax.lax.stop_gradient(box_preds[..., 6])
+                   - reg_targets[..., 6])
+        q_target = jnp.abs(jnp.cos(yaw_err))
+        q_logits = p["quality_preds"]
+        q_bce = optax_sigmoid_bce(q_logits, q_target)
+        pos_w = (labels > 0).astype(q_bce.dtype)
+        pos_w = pos_w / jnp.maximum(pos_w.sum(-1, keepdims=True), 1.0)
+        quality_loss = (q_bce * pos_w).sum() / labels.shape[0]
+        total = total + cfg.yaw_quality_weight * quality_loss
+        metrics["loss_quality"] = quality_loss
+
     metrics["loss"] = total
     return total, metrics
+
+
+def optax_sigmoid_bce(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Numerically-stable sigmoid BCE with soft targets."""
+    return (jnp.maximum(logits, 0.0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +405,13 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
         scores_all = jax.nn.sigmoid(cls_preds)  # [B, A, num_class]
     else:
         scores_all = jax.nn.softmax(cls_preds, axis=-1)[..., 1:]
+
+    if cfg.use_yaw_quality_head and "quality_preds" in p:
+        # rank by cls_score * yaw_quality BEFORE top-k: wrong-yaw
+        # duplicates drop below the correctly-oriented box instead of
+        # outscoring it (the thin-class door failure)
+        quality = jax.nn.sigmoid(p["quality_preds"].astype(jnp.float32))
+        scores_all = scores_all * quality[..., None]
 
     if anchors_mask is not None:
         scores_all = jnp.where(anchors_mask[..., None], scores_all, 0.0)

@@ -1,9 +1,21 @@
 """Host input pipeline: dataset -> prep -> batched prefetch.
 
 The reference fans prep out to torch DataLoader worker *processes*
-[ref: second/pytorch/builder/input_reader_builder.py — UNVERIFIED]; here a
-thread-pool prefetcher keeps the (numpy-heavy, GIL-releasing) prep ahead of
-the device step, with deterministic per-sample seeding.
+[ref: second/pytorch/builder/input_reader_builder.py — UNVERIFIED].  Two
+producer modes here:
+
+- thread pool (default): the numpy-heavy, GIL-releasing prep runs ahead
+  of the device step on a few threads — enough for single-chip training.
+- fork-inherited process pool (``process_workers=True`` /
+  ``input_reader.process_workers``): the DataLoader-equivalent.  Workers
+  inherit the prep closure by fork (the closures hold lambdas and are
+  not picklable; only (idx, seed) tasks and example dicts cross the
+  pipe), so host prep scales with cores — required to feed multi-chip
+  DP training.
+
+Both are batch-order deterministic: tasks are submitted in stream order,
+collected in submission order, and per-sample rngs are seeded by
+(epoch, index) so results do not depend on execution order.
 """
 from __future__ import annotations
 
@@ -14,6 +26,18 @@ from typing import Callable, Iterator
 import numpy as np
 
 from ..data import batching
+
+# fork-inherited state for process workers: the child resolves the prep
+# dataset through this registry (its entry is added before the pool
+# forks and fork inherits the whole dict), so nothing unpicklable ever
+# crosses the process boundary — only (key, idx, seed) tasks and
+# example dicts.  Keyed, not a single slot, so several process-backed
+# loaders can coexist even with lazily-forked workers.
+_FORK_REGISTRY: dict = {}
+
+
+def _fork_worker_example(key: int, idx: int, seed: int) -> dict:
+    return _FORK_REGISTRY[key].example(idx, seed)
 
 
 class PrepDataset:
@@ -43,11 +67,13 @@ class BatchLoader:
     def __init__(self, prep_dataset: PrepDataset, batch_size: int,
                  shuffle: bool, num_workers: int = 2, seed: int = 0,
                  prefetch: int = 4, drop_last: bool = True,
-                 repeat: bool = True, buckets=None, bucket_plans=None):
+                 repeat: bool = True, buckets=None, bucket_plans=None,
+                 process_workers: bool = False):
         self._ds = prep_dataset
         self._batch_size = batch_size
         self._shuffle = shuffle
         self._workers = max(num_workers, 1)
+        self._process_workers = bool(process_workers)
         self._seed = seed
         self._prefetch = prefetch
         self._drop_last = drop_last
@@ -115,11 +141,10 @@ class BatchLoader:
                 q.put(None)
 
         threads = [threading.Thread(target=producer, daemon=True)]
-        # Both producers are batch-order deterministic: the pool submits
-        # in stream order and collects results in submission order, and
-        # per-sample rngs are seeded by (epoch, index) so prep results
-        # do not depend on execution order.
-        if self._workers > 1:
+        if self._process_workers:
+            threads = [threading.Thread(
+                target=self._process_producer, args=(q, stop), daemon=True)]
+        elif self._workers > 1:
             threads = [threading.Thread(
                 target=self._pooled_producer, args=(q, stop), daemon=True)]
         for t in threads:
@@ -137,8 +162,34 @@ class BatchLoader:
 
     def _pooled_producer(self, q, stop):
         from concurrent.futures import ThreadPoolExecutor
+        self._pool_producer(q, stop, ThreadPoolExecutor(self._workers),
+                            self._ds.example)
+
+    def _process_producer(self, q, stop):
+        """Fork-inherited process pool (the lineage DataLoader model).
+
+        Falls back to the thread pool when fork is unavailable (non-Linux
+        spawn-only platforms: the prep closures are not picklable)."""
+        import functools
+        import multiprocessing as mp
         try:
-            with ThreadPoolExecutor(self._workers) as pool:
+            ctx = mp.get_context("fork")
+        except ValueError:
+            return self._pooled_producer(q, stop)
+        from concurrent.futures import ProcessPoolExecutor
+        key = id(self._ds)
+        _FORK_REGISTRY[key] = self._ds   # inherited at fork time
+        try:
+            pool = ProcessPoolExecutor(self._workers, mp_context=ctx)
+            self._pool_producer(
+                q, stop, pool,
+                functools.partial(_fork_worker_example, key))
+        finally:
+            _FORK_REGISTRY.pop(key, None)
+
+    def _pool_producer(self, q, stop, pool, submit_fn):
+        try:
+            with pool:
                 pending = []
                 stream = self._index_stream()
                 exhausted = False
@@ -149,7 +200,7 @@ class BatchLoader:
                         except StopIteration:
                             exhausted = True
                             break
-                        pending.append(pool.submit(self._ds.example, idx, seed))
+                        pending.append(pool.submit(submit_fn, idx, seed))
                     if len(pending) >= self._batch_size:
                         batch = [f.result() for f in
                                  pending[: self._batch_size]]

@@ -339,8 +339,8 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
 
     # --- size the middle stack's static site capacities from the data
     # (a strided SparseConv EXPANDS active sites ~3x at the first FHD
-    # block; undersized caps silently truncate the highest z-slices —
-    # this is the production sizing pattern, see sc.measure_site_caps)
+    # block; undersized caps silently truncate active sites — this is
+    # the production sizing pattern, see sc.measure_site_caps)
     from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
     grid_dhw, specs = sc.respec(voxelnet_mod.middle_plan(vcfg, VCAP))
     site_caps = sc.measure_site_caps(
@@ -348,16 +348,44 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     vcfg = dataclasses.replace(vcfg, sparse_out_caps=site_caps)
     _progress(f"fhd: measured middle site caps {site_caps}")
 
-    # --- Pallas window autotune + fallback telemetry on real rulebooks
+    # --- Pallas window autotune + fallback telemetry.  The windows are
+    # deterministic functions of (fixed-seed scenes, VCAP, tile), and
+    # building the full-stack telemetry rulebooks costs ~17 min through
+    # the relay — so the default run loads them from bench_cache.json
+    # and only ABR_BENCH_FULL=1 recomputes (VERDICT r3: the driver
+    # killed the uncached bench at ~4 min with nothing printed).
     plan = voxelnet_mod.middle_plan(vcfg, VCAP)
-    _progress("fhd: building telemetry rulebooks on device")
-    books = _device_rulebooks(jax, jnp, vox0.coords[0], plan)
-    window = sgg.choose_window(books, VCAP, tile=vcfg.sparse_pallas_tile)
-    n_fit = sum(
-        bool(sgg.pallas_fits(gi, fo, n,
-                             tile=vcfg.sparse_pallas_tile, window=window))
-        for gi, fo, n in books)
-    fallback_rate = 1.0 - n_fit / max(len(books), 1)
+    cache_params = {"n_pts": n_pts, "B": B, "VCAP": VCAP, "PPV": PPV,
+                    "tile": int(vcfg.sparse_pallas_tile),
+                    "site_caps": [int(c) for c in site_caps]}
+    cached = _cache_load(cache_params)
+    if cached is not None:
+        window = int(cached["pallas_window"])
+        fallback_rate = float(cached["pallas_fallback_rate"])
+        km_window = int(cached["keymatch_window"])
+        km_miss = float(cached["keymatch_fallback_rate"])
+        _progress(f"fhd: autotune cache hit (window={window}, "
+                  f"km_window={km_window})")
+    else:
+        _progress("fhd: building telemetry rulebooks on device "
+                  "(uncached: ~17 min)")
+        books = _device_rulebooks(jax, jnp, vox0.coords[0], plan)
+        window = sgg.choose_window(books, VCAP,
+                                   tile=vcfg.sparse_pallas_tile)
+        n_fit = sum(
+            bool(sgg.pallas_fits(gi, fo, n, tile=vcfg.sparse_pallas_tile,
+                                 window=window))
+            for gi, fo, n in books)
+        fallback_rate = 1.0 - n_fit / max(len(books), 1)
+        km_window = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
+                                       vcfg.sparse_pallas_tile)
+        km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
+                                      vcfg.sparse_pallas_tile, km_window)
+        _cache_store(cache_params, {
+            "pallas_window": window,
+            "pallas_fallback_rate": round(fallback_rate, 3),
+            "keymatch_window": km_window,
+            "keymatch_fallback_rate": round(km_miss, 3)})
     vcfg = dataclasses.replace(vcfg, sparse_pallas_window=window)
 
     model = VoxelNet(cfg=vcfg)
@@ -384,14 +412,10 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     # Pallas kernel, so the only remaining per-scan construction is the
     # strided blocks' output-site sort.  Its (shared) window is sized
     # from this scan's measured per-tile union spans, independently of
-    # the rulebook-mode window.
-    km_window = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
-                                   vcfg.sparse_pallas_tile)
+    # the rulebook-mode window (cached above).
     vcfg_km = dataclasses.replace(vcfg, sparse_keymatch=True,
                                   sparse_pallas_window=km_window)
     model_km = VoxelNet(cfg=vcfg_km)
-    km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
-                                  vcfg.sparse_pallas_tile, km_window)
 
     def stage_full_km(i, pts0):
         r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
@@ -419,12 +443,9 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     flops_per_scan = flops / B if flops else None
     mfu = (flops_per_scan / (dt_full / B) / V5E_BF16_PEAK_FLOPS
            if flops_per_scan else None)
+    _progress("fhd: cost analysis done")
 
-    _progress("fhd: cost analysis done; host pipeline")
-    host_sps, hostpipe_sps = _fhd_host_pipeline(jax, jnp, vcfg, plan,
-                                                host_sps=host_sps)
-
-    return {
+    device_extras = {
         "second_fhd_scans_per_sec": round(device_sps, 2),
         "second_fhd_vs_baseline": round(device_sps / SECOND_BASELINE_SPS,
                                         3),
@@ -436,13 +457,23 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "second_fhd_mfu": round(mfu, 4) if mfu else None,
         "second_fhd_keymatch_scans_per_sec": round(B / dt_km, 2),
         "second_fhd_rulebook_scans_per_sec": round(B / dt_rb, 2),
-        "second_fhd_hostpipe_scans_per_sec": round(hostpipe_sps, 2),
-        "second_fhd_host_prep_scans_per_sec": round(host_sps, 2),
         "pallas_window": window,
         "pallas_fallback_rate": round(fallback_rate, 3),
         "keymatch_window": km_window,
         "keymatch_fallback_rate": round(km_miss, 3),
     }
+    # host pipeline runs as a separate closure so main() can emit the
+    # device numbers FIRST (driver-timeout safety)
+    def hostpipe():
+        _progress("fhd: host pipeline")
+        hs, hostpipe_sps = _fhd_host_pipeline(jax, jnp, vcfg, plan,
+                                              host_sps=host_sps)
+        return {
+            "second_fhd_hostpipe_scans_per_sec": round(hostpipe_sps, 2),
+            "second_fhd_host_prep_scans_per_sec": round(hs, 2),
+        }
+
+    return device_extras, hostpipe
 
 
 def _device_rulebooks(jax, jnp, coords0, plan):
@@ -586,6 +617,47 @@ def _host_prep_stage(vcfg, plan, scans, VCAP, PPV):
     return [host_stage(s) for s in scans]
 
 
+def _host_prep_nproc_rate(nproc: int = 4) -> float:
+    """Host-prep scans/s through a ``nproc``-process fork pool (the
+    input pipeline's process_workers mode) in a clean subprocess.
+
+    On a multi-core production host this scales ~linearly with cores;
+    THIS container has nproc=1, so the number here mostly certifies the
+    fan-out works end-to-end (expect ~1x single-core minus fork/IPC
+    overhead, honestly reported)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "from concurrent.futures import ProcessPoolExecutor\n"
+        "import multiprocessing as mp\n"
+        "VoxelNet, vcfg, _ = bench._fhd_model(None, None)\n"
+        "from automatic_as_built_reconstruction_tpu.models import "
+        "voxelnet as vm\n"
+        "plan = vm.middle_plan(vcfg, 16384)\n"
+        "scans = [bench.make_scene(1000 + i) for i in range(8)]\n"
+        "def one(i):\n"
+        "    bench._host_prep_stage(vcfg, plan, [scans[i %% 8]], 16384, 5)\n"
+        "    return i\n"
+        "pool = ProcessPoolExecutor(%d, mp_context=mp.get_context('fork'))\n"
+        "list(pool.map(one, range(2)))\n"
+        "t0 = time.perf_counter()\n"
+        "n = 8\n"
+        "list(pool.map(one, range(n)))\n"
+        "print(n / (time.perf_counter() - t0))\n"
+        % (str(pathlib.Path(__file__).parent), nproc))
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=600,
+                             capture_output=True, text=True, check=True)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
+
+
 def _host_prep_subprocess_rate() -> float:
     """Host-prep scans/s measured in a fresh JAX-free subprocess.
 
@@ -607,10 +679,13 @@ def _host_prep_subprocess_rate() -> float:
         "voxelnet as vm\n"
         "plan = vm.middle_plan(vcfg, 16384)\n"
         "scans = [bench.make_scene(1000 + i) for i in range(16)]\n"
-        "bench._host_prep_stage(vcfg, plan, scans[:4], 16384, 5)\n"
         "t0 = time.perf_counter()\n"
-        "bench._host_prep_stage(vcfg, plan, scans, 16384, 5)\n"
-        "print(16 / (time.perf_counter() - t0))\n"
+        "bench._host_prep_stage(vcfg, plan, scans[:2], 16384, 5)\n"
+        "per = (time.perf_counter() - t0) / 2\n"
+        "n = max(4, min(16, int(45.0 / max(per, 1e-3))))\n"
+        "t0 = time.perf_counter()\n"
+        "bench._host_prep_stage(vcfg, plan, scans[:n], 16384, 5)\n"
+        "print(n / (time.perf_counter() - t0))\n"
         % str(pathlib.Path(__file__).parent))
     try:
         out = subprocess.run([sys.executable, "-c", code], timeout=600,
@@ -700,53 +775,54 @@ def main():
     import jax.numpy as jnp
 
     # Each section is independent; a failure in one must not cost the
-    # others their numbers (the driver records exactly one JSON line).
-    extra = {}
+    # others their numbers, and each section ENDS by re-printing the
+    # headline JSON line with everything measured so far — a driver
+    # timeout mid-run still captures a parseable record (last line wins).
+    full_sps = 0.0
     # Host prep FIRST, before the first device dispatch: once the axon
     # relay client is live its polling threads compete with the
     # subprocess for this container's single core and under-report the
     # rate ~10x (measured 5.45 vs 52.8 scans/s idle).
     _progress("host prep rate (clean subprocess, before TPU init)")
     host_prep_sps = _host_prep_subprocess_rate()
-    pillar = None
+    if not SMOKE:
+        _progress("host prep rate via 4-process fan-out")
+        _EMITTED["host_prep_scans_per_sec_nproc"] = round(
+            _host_prep_nproc_rate(4), 2)
     try:
         pillar = bench_pillar(jax, jnp)
-    except Exception as e:
-        traceback.print_exc()
-        extra["pillar_error"] = repr(e)[:200]
-    _progress("pillar done; starting second_fhd")
-    try:
-        extra.update(bench_second_fhd(jax, jnp, host_sps=host_prep_sps))
-    except Exception as e:
-        traceback.print_exc()
-        extra["second_fhd_error"] = repr(e)[:200]
-    _progress("fhd done; starting voxelize")
-    try:
-        extra["voxelize_mpoints_per_sec"] = round(
-            bench_voxelize(jax, jnp), 2)
-    except Exception:
-        traceback.print_exc()
-
-    if pillar is not None:
-        extra = {
+        full_sps = pillar["full_sps"]
+        _emit(full_sps, {
             "pillar_network_scans_per_sec": round(pillar["network_sps"], 2),
             "pillar_stage_ms": pillar["stage_ms"],
             "pillar_flops_per_scan": pillar["flops_per_scan"],
-            "pillar_mfu": pillar["mfu"],
-            **extra}
-        full_sps = pillar["full_sps"]
-    else:
-        # fall back to the FHD number so the line is never empty
-        full_sps = extra.get("second_fhd_scans_per_sec", 0.0)
-    if SMOKE:
-        extra["smoke"] = True
-    print(json.dumps({
-        "metric": "pillar_full_pipeline_scans_per_sec_per_chip",
-        "value": round(full_sps, 2),
-        "unit": "scans/sec",
-        "vs_baseline": round(full_sps / PILLAR_BASELINE_SPS, 3),
-        "extra": extra,
-    }))
+            "pillar_mfu": pillar["mfu"]})
+    except Exception as e:
+        traceback.print_exc()
+        _emit(full_sps, {"pillar_error": repr(e)[:200]})
+    _progress("pillar done; starting second_fhd")
+    hostpipe = None
+    try:
+        fhd, hostpipe = bench_second_fhd(jax, jnp, host_sps=host_prep_sps)
+        if full_sps == 0.0:   # never leave the headline empty
+            full_sps = fhd.get("second_fhd_scans_per_sec", 0.0)
+        _emit(full_sps, fhd)
+    except Exception as e:
+        traceback.print_exc()
+        _emit(full_sps, {"second_fhd_error": repr(e)[:200]})
+    if hostpipe is not None:
+        try:
+            _emit(full_sps, hostpipe())
+        except Exception as e:
+            traceback.print_exc()
+            _emit(full_sps, {"second_fhd_hostpipe_error": repr(e)[:200]})
+    _progress("fhd done; starting voxelize")
+    try:
+        _emit(full_sps, {"voxelize_mpoints_per_sec": round(
+            bench_voxelize(jax, jnp), 2)})
+    except Exception:
+        traceback.print_exc()
+        _emit(full_sps, {})
 
 
 if __name__ == "__main__":

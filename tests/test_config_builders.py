@@ -19,6 +19,53 @@ def pp_cfg():
         CONFIG_DIR / "pointpillars" / "car" / "xyres_16.config")
 
 
+class TestConfigZoo:
+    """Every shipped config parses and builds (model, cfg, fmap) through
+    the full builder tree — the lineage config-family surface."""
+
+    @pytest.mark.parametrize("rel", sorted(
+        str(p.relative_to(CONFIG_DIR))
+        for p in CONFIG_DIR.rglob("*.config")))
+    def test_builds(self, rel):
+        cfg = builder.load_config(CONFIG_DIR / rel)
+        m = cfg.model.second
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        model, vcfg, fmap = second_builder.build(m, gen, assigner)
+        assert vcfg.num_class == len(assigner.classes)
+        assert all(f > 0 for f in fmap)
+        # anchor generation on the real feature map stays consistent
+        ret = assigner.generate_anchors(fmap)
+        n_loc = fmap[0] * fmap[1] * fmap[2]
+        assert ret["anchors"].shape == (
+            n_loc * assigner.num_anchors_per_location, 7)
+        # optimizer builds for the config's schedule
+        import jax.numpy as jnp  # noqa: F401
+        tx = optimizer_builder.build(cfg.train_config.optimizer,
+                                     int(cfg.train_config.steps) or 100)
+        assert tx is not None
+
+    def test_people_fhd_classes(self):
+        cfg = builder.load_config(CONFIG_DIR / "second/people.fhd.config")
+        names = [cs.class_name for cs in
+                 cfg.model.second.target_assigner.class_settings]
+        assert names == ["Pedestrian", "Cyclist"]
+        assert list(cfg.train_input_reader.class_names) == names
+
+    def test_pp_multiclass(self):
+        cfg = builder.load_config(
+            CONFIG_DIR / "pointpillars/all/xyres_16.config")
+        names = [cs.class_name for cs in
+                 cfg.model.second.target_assigner.class_settings]
+        assert names == ["Car", "Pedestrian", "Cyclist"]
+
+    def test_fhd_mixed_precision_flag(self):
+        cfg = builder.load_config(
+            CONFIG_DIR / "second/car/car.fhd.mixed.config")
+        assert cfg.train_config.enable_mixed_precision
+
+
 class TestConfigParse:
     def test_roundtrip(self, pp_cfg, tmp_path):
         builder.save_config(pp_cfg, tmp_path / "out.config")
@@ -65,6 +112,18 @@ class TestBuilders:
         assert cfg.loc_weight == 2.0
         assert fmap == (1, 248, 216)
         assert cfg.rpn_layer_nums == (3, 5, 5)
+        assert cfg.use_yaw_quality_head is False
+
+    def test_yaw_quality_head_wired(self, pp_cfg):
+        m = pp_cfg.model.second
+        m.use_yaw_quality_head = True
+        m.yaw_quality_weight = 0.5
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        _, cfg, _ = second_builder.build(m, gen, assigner)
+        assert cfg.use_yaw_quality_head is True
+        assert cfg.yaw_quality_weight == 0.5
 
     def test_optimizer_builder(self, pp_cfg):
         import jax.numpy as jnp

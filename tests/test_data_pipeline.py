@@ -337,3 +337,21 @@ class TestBucketedPadding:
             ds, batch_size=2, shuffle=True, num_workers=4, seed=3,
             repeat=False)]
         assert a == b
+
+    def test_process_workers_match_threads(self):
+        """The fork-inherited process pool (the lineage DataLoader model)
+        must produce bit-identical batches in the same order as the
+        thread producer."""
+        from automatic_as_built_reconstruction_tpu.train.input_pipeline \
+            import BatchLoader
+        ds = self._fake_prep_ds()
+        thr = list(BatchLoader(ds, batch_size=2, shuffle=True,
+                               num_workers=2, seed=3, repeat=False))
+        proc = list(BatchLoader(ds, batch_size=2, shuffle=True,
+                                num_workers=2, seed=3, repeat=False,
+                                process_workers=True))
+        assert len(thr) == len(proc) == 4
+        for bt, bp in zip(thr, proc):
+            assert sorted(bt) == sorted(bp)
+            for k in bt:
+                np.testing.assert_array_equal(bt[k], bp[k])

@@ -100,6 +100,46 @@ class TestForward:
         assert preds["cls_preds"].shape == (1, 16, 16, 2 * 1)
         assert preds["dir_cls_preds"].shape == (1, 16, 16, 2 * 2)
 
+    def test_yaw_quality_head(self):
+        """Quality head: extra per-anchor logit, a loss term on positives,
+        and score multiplication that demotes wrong-yaw duplicates."""
+        cfg = tiny_cfg(use_yaw_quality_head=True)
+        ex, _ = make_example(cfg)
+        model = VoxelNet(cfg=cfg)
+        variables = model.init(jax.random.key(0), ex["voxels"],
+                               ex["num_points"], ex["coordinates"])
+        preds = model.apply(variables, ex["voxels"], ex["num_points"],
+                            ex["coordinates"])
+        assert preds["quality_preds"].shape == (1, 16, 16, 2)
+        loss, metrics = compute_loss(preds, ex, cfg)
+        assert "loss_quality" in metrics
+        assert np.isfinite(float(metrics["loss_quality"]))
+
+        # predict: force one anchor's quality logit very negative -> its
+        # final score must drop below a lower-cls-score rival
+        flat = voxelnet._flatten_preds(preds, cfg)
+        A = flat["cls_preds"].shape[1]
+        hi, lo = 5, 6
+        cls = np.full((1, A, 1), -6.0, np.float32)
+        cls[0, hi, 0] = 3.0            # sigmoid 0.95 — but bad yaw
+        cls[0, lo, 0] = 1.0            # sigmoid 0.73 — good yaw
+        qual = np.full((1, A), 8.0, np.float32)
+        qual[0, hi] = -8.0             # quality ~0
+        forged = {
+            "box_preds": np.asarray(preds["box_preds"]),
+            "cls_preds": cls.reshape(1, 16, 16, 2),
+            "dir_cls_preds": np.asarray(preds["dir_cls_preds"]),
+            "quality_preds": qual.reshape(1, 16, 16, 2),
+        }
+        det = predict({k: jnp.asarray(v) for k, v in forged.items()},
+                      ex["anchors"], cfg)
+        scores = np.asarray(det["scores"][0])
+        valid = np.asarray(det["valid"][0])
+        assert valid.any()
+        # the winning score is the quality-weighted good-yaw anchor
+        # (~0.73), not the bad-yaw 0.95 anchor
+        assert abs(scores[valid].max() - 0.73) < 0.02
+
     def test_shapes_dense_middle(self):
         cfg = tiny_cfg(vfe_name="SimpleVoxel", middle_name="DenseMiddle",
                        grid_size=(32, 32, 8),
