@@ -215,21 +215,44 @@ def rotate_nms_batch(boxes: jax.Array, scores: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("post_max_size", "neighbor_cap"))
+                   static_argnames=("post_max_size", "neighbor_cap",
+                                    "compact_cap"))
 def rotate_nms_presorted(boxes: jax.Array, scores: jax.Array,
                          iou_threshold: float, post_max_size: int,
-                         neighbor_cap: int = 128):
+                         neighbor_cap: int = 128, compact_cap: int = 256):
     """:func:`rotate_nms_batch` for rows ALREADY score-sorted descending
     (e.g. straight out of a caller's top_k): skips the internal top_k
     and returns indices into each row's K axis.
 
+    Two-level problem sizing: because rows are score-DESCENDING, every
+    valid (> -inf, i.e. above the caller's score threshold) entry forms
+    a prefix — so when no row has more than ``compact_cap`` valid
+    candidates, running NMS on the first ``compact_cap`` columns is
+    EXACT, and the O(K^2) candidate/suppressor buffers shrink ~16x at
+    the serving default (K=1000, cap=256).  After training, real scans
+    rarely exceed a couple hundred above-threshold anchors per class, so
+    this is the common path; dense rows fall back to the full width.
+
     boxes: [R, K, 5]; scores: [R, K] descending, -inf = invalid."""
     R, K = scores.shape
     valid = scores > -jnp.inf
-    keep = rotate_nms_keep_batch(boxes, valid, iou_threshold, neighbor_cap)
     idx = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (R, K))
-    return jax.vmap(lambda ke, ti: _compact_keep(ke, ti, post_max_size))(
-        keep, idx)
+    K2 = min(int(compact_cap), K)
+
+    def run(b, v, k_width):
+        keep = rotate_nms_keep_batch(b, v, iou_threshold, neighbor_cap)
+        return jax.vmap(lambda ke, ti: _compact_keep(ke, ti,
+                                                     post_max_size))(
+            keep, idx[:, :k_width])
+
+    if K2 >= K:
+        return run(boxes, valid, K)
+    small = jnp.max(jnp.sum(valid, axis=1)) <= K2
+    return jax.lax.cond(
+        small,
+        lambda _: run(boxes[:, :K2], valid[:, :K2], K2),
+        lambda _: run(boxes, valid, K),
+        None)
 
 
 @functools.partial(jax.jit, static_argnames=("post_max_size",))

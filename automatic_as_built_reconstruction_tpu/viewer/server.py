@@ -128,7 +128,14 @@ def main(argv=None):
     ap.add_argument("--config_path", required=True)
     ap.add_argument("--model_dir", default=None)
     ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' to keep the "
+                         "viewer off a TPU another process holds)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.model_dir:
         dataset, predict = _make_predictor(args.config_path, args.model_dir)

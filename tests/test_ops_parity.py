@@ -209,6 +209,33 @@ class TestNmsParity:
                 np.asarray(idx_n[r])[np.asarray(val_n[r])],
                 np.asarray(idx1)[np.asarray(val1)])
 
+    def test_presorted_compaction_exact(self):
+        """The compact_cap fast path (valid prefix fits a narrower width)
+        must return exactly the full-width result, and rows overflowing
+        the cap must fall back without changing answers."""
+        rng = np.random.default_rng(23)
+        R, n = 4, 48
+        boxes = np.stack([
+            np.stack([rng.uniform(-15, 15, n), rng.uniform(-15, 15, n),
+                      np.full(n, 2.0), np.full(n, 4.0),
+                      rng.uniform(-np.pi, np.pi, n)], axis=1)
+            for _ in range(R)]).astype(np.float32)
+        scores = -np.sort(-rng.uniform(0, 1, (R, n)).astype(np.float32), 1)
+        for nvalid in (10, 40):      # 10 < cap=16 (compact), 40 > cap
+            sc = scores.copy()
+            sc[:, nvalid:] = -np.inf
+            idx_full, val_full = nms_jax.rotate_nms_presorted(
+                jnp.asarray(boxes), jnp.asarray(sc), 0.3,
+                post_max_size=n, compact_cap=n)
+            idx_c, val_c = nms_jax.rotate_nms_presorted(
+                jnp.asarray(boxes), jnp.asarray(sc), 0.3,
+                post_max_size=n, compact_cap=16)
+            for r in range(R):
+                np.testing.assert_array_equal(
+                    np.asarray(idx_full[r])[np.asarray(val_full[r])],
+                    np.asarray(idx_c[r])[np.asarray(val_c[r])],
+                    err_msg=f"nvalid={nvalid} row={r}")
+
     def test_post_max_size(self):
         rng = np.random.default_rng(8)
         boxes = np.stack([rng.uniform(-50, 50, 64), rng.uniform(-50, 50, 64),

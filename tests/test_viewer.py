@@ -36,6 +36,14 @@ class TestViewerEndpoints:
         assert status == 200
         assert b"<canvas" in body or b"canvas" in body
 
+    def test_index_is_3d(self, viewer):
+        """The frontend ships the 3D scene browser: perspective orbit
+        camera, 8-corner/12-edge box wireframes, BEV toggle."""
+        _, body = _get(viewer + "/")
+        for marker in (b"boxCorners3d", b"EDGES", b"orbit", b"makeProject",
+                       b"mode3d"):
+            assert marker in body, marker
+
     def test_info(self, viewer):
         status, body = _get(viewer + "/api/info")
         info = json.loads(body)
