@@ -255,16 +255,20 @@ def rotate_nms_presorted(boxes: jax.Array, scores: jax.Array,
         None)
 
 
-@functools.partial(jax.jit, static_argnames=("post_max_size",))
+@functools.partial(jax.jit, static_argnames=("post_max_size",
+                                             "compact_cap"))
 def nearest_nms_presorted(boxes_bev: jax.Array, scores: jax.Array,
-                          iou_threshold: float, post_max_size: int):
+                          iou_threshold: float, post_max_size: int,
+                          compact_cap: int = 256):
     """:func:`nearest_nms` for rows ALREADY score-sorted descending;
-    returns indices into each row's K axis.
+    returns indices into each row's K axis.  Same exact two-level
+    sizing as :func:`rotate_nms_presorted` (valid entries form a prefix
+    of a descending row).
 
     boxes_bev: [R, K, 4] (x1, y1, x2, y2); scores: [R, K] descending."""
     R, K = scores.shape
 
-    def one(b, s):
+    def one(b, s, k_width):
         valid = s > -jnp.inf
         area = (jnp.maximum(b[:, 2] - b[:, 0], 0)
                 * jnp.maximum(b[:, 3] - b[:, 1], 0))
@@ -276,10 +280,21 @@ def nearest_nms_presorted(boxes_bev: jax.Array, scores: jax.Array,
         union = area[:, None] + area[None, :] - inter
         iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
         keep = _greedy_suppress(iou, valid, iou_threshold)
-        return _compact_keep(keep, jnp.arange(K, dtype=jnp.int32),
+        return _compact_keep(keep, jnp.arange(k_width, dtype=jnp.int32),
                              post_max_size)
 
-    return jax.lax.map(lambda bs: one(*bs), (boxes_bev, scores))
+    def run(b, s, k_width):
+        return jax.lax.map(lambda bs: one(*bs, k_width), (b, s))
+
+    K2 = min(int(compact_cap), K)
+    if K2 >= K:
+        return run(boxes_bev, scores, K)
+    small = jnp.max(jnp.sum(scores > -jnp.inf, axis=1)) <= K2
+    return jax.lax.cond(
+        small,
+        lambda _: run(boxes_bev[:, :K2], scores[:, :K2], K2),
+        lambda _: run(boxes_bev, scores, K),
+        None)
 
 
 @functools.partial(jax.jit,

@@ -235,6 +235,20 @@ class TestNmsParity:
                     np.asarray(idx_full[r])[np.asarray(val_full[r])],
                     np.asarray(idx_c[r])[np.asarray(val_c[r])],
                     err_msg=f"nvalid={nvalid} row={r}")
+            # same contract for the axis-aligned variant
+            near = np.asarray(jax.vmap(nms_jax.rbbox_to_near_bbox)(
+                jnp.asarray(boxes)))
+            in_f, vn_f = nms_jax.nearest_nms_presorted(
+                jnp.asarray(near), jnp.asarray(sc), 0.3,
+                post_max_size=n, compact_cap=n)
+            in_c, vn_c = nms_jax.nearest_nms_presorted(
+                jnp.asarray(near), jnp.asarray(sc), 0.3,
+                post_max_size=n, compact_cap=16)
+            for r in range(R):
+                np.testing.assert_array_equal(
+                    np.asarray(in_f[r])[np.asarray(vn_f[r])],
+                    np.asarray(in_c[r])[np.asarray(vn_c[r])],
+                    err_msg=f"nearest nvalid={nvalid} row={r}")
 
     def test_post_max_size(self):
         rng = np.random.default_rng(8)

@@ -96,10 +96,14 @@ def test_sparse_middle_with_precomputed_rulebooks_matches_self_built():
     feats = rng.normal(size=(B, V, F)).astype(np.float32)
     feats[coords[..., 0] < 0] = 0
 
+    # the module and the host precompute must share ONE capacity policy
+    # (production wires cfg.sparse_capacity_shrink/out_caps into both —
+    # builder/input_reader_builder.py); mismatched policies produce
+    # different rulebook shapes by design
     mid = SparseMiddle(grid_dhw=grid, num_input_features=F,
                        num_filters=(8, 16), layers_per_block=(1, 1),
                        z_strides=(2, 2), xy_strides=(1, 2),
-                       min_capacity=64)
+                       capacity_shrink=0.6, min_capacity=64)
     variables = mid.init(jax.random.key(0), jnp.asarray(feats),
                          jnp.asarray(coords))
     ref = mid.apply(variables, jnp.asarray(feats), jnp.asarray(coords))
