@@ -51,9 +51,15 @@ CLASS_DIMS = {
 }
 
 
-def sample_box_surface(rng, box, n_base: int = 600):
+def sample_box_surface(rng, box, n_base: int = 600, asym: bool = False):
     """Lidar-ish shell sampling of an object box: visible faces only,
-    density falling with distance, mild dropout."""
+    density falling with distance, mild dropout.
+
+    ``asym=True`` (cars) carves a hood/windshield profile into the
+    front (+x local) half of the shell, so the point cloud is
+    heading-asymmetric and the direction classifier has signal — a
+    plain cuboid is 180-degree symmetric and pins loss_dir at ln 2
+    (observed in the round-4 rehearsal: aos ~= bbox/2)."""
     x, y, z, w, l, h, yaw = box
     dist = float(np.hypot(x, y))
     n = max(int(n_base * min((12.0 / max(dist, 6.0)) ** 1.7, 1.0)), 25)
@@ -76,6 +82,13 @@ def sample_box_surface(rng, box, n_base: int = 600):
     local[face == 4] = np.c_[u[face == 4], v[face == 4],
                              np.ones((face == 4).sum())]
     local *= np.array([l, w, h])
+    if asym:
+        # roof height tapers from full h behind the cabin (x <= 0.05*l)
+        # down to 0.55*h at the front bumper — shell points above the
+        # profile drop onto it (hood + windshield)
+        t = np.clip((local[:, 0] / l - 0.05) / 0.45, 0.0, 1.0)
+        zcap = h * (1.0 - 0.45 * t)
+        local[:, 2] = np.minimum(local[:, 2], zcap)
     local += rng.normal(0, 0.02, local.shape)       # sensor noise
     c, s = np.cos(yaw), np.sin(yaw)
     pts = np.c_[local[:, 0] * c - local[:, 1] * s + x,
@@ -131,7 +144,8 @@ def make_frame(rng, multiclass: bool = False):
         # small objects get a denser base shell so they survive distance
         # thinning with a detectable point count
         pts.append(sample_box_surface(
-            rng, b, n_base=600 if name == "Car" else 350))
+            rng, b, n_base=600 if name == "Car" else 350,
+            asym=(name == "Car")))
     # vertical clutter (poles/walls)
     for _ in range(int(rng.integers(2, 7))):
         cx = float(rng.uniform(8, 60))
