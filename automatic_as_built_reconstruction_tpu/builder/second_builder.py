@@ -99,6 +99,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         direction_offset=model_cfg.direction_offset,
         use_yaw_quality_head=model_cfg.use_yaw_quality_head,
         yaw_quality_weight=model_cfg.yaw_quality_weight or 1.0,
+        yaw_quality_predict_power=model_cfg.yaw_quality_predict_power or 1.0,
         encode_rad_error_by_sin=model_cfg.encode_rad_error_by_sin,
         sin_error_factor=model_cfg.sin_error_factor or 1.0,
         cls_weight=loss.cls_weight,
@@ -118,6 +119,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         nms_post_max_size=int(model_cfg.nms_post_max_size) or 100,
         nms_score_threshold=model_cfg.nms_score_threshold or 0.05,
         nms_iou_threshold=model_cfg.nms_iou_threshold or 0.5,
+        nms_center_suppress_radius=model_cfg.nms_center_suppress_radius,
     )
     model = VoxelNet(cfg=cfg)
     fmap = feature_map_size_from(model_cfg, grid_size)

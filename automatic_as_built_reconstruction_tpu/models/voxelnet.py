@@ -135,6 +135,14 @@ class VoxelNetConfig:
     # detection score at predict time (thin-class yaw-ranking fix)
     use_yaw_quality_head: bool = False
     yaw_quality_weight: float = 1.0
+    # predict-time calibration: score *= sigmoid(quality) ** power.
+    # power > 1 sharpens the yaw-quality discrimination between a
+    # correctly-oriented detection and its wrong-yaw duplicate.
+    yaw_quality_predict_power: float = 1.0
+    # post-NMS greedy same-class suppression by BEV center distance
+    # (meters; 0 disables) — kills wrong-yaw duplicates of thin boxes
+    # that rotated NMS can't see (near-zero mutual IoU, same center)
+    nms_center_suppress_radius: float = 0.0
     pos_cls_weight: float = 1.0
     neg_cls_weight: float = 1.0
     focal_gamma: float = 2.0
@@ -411,6 +419,8 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
         # duplicates drop below the correctly-oriented box instead of
         # outscoring it (the thin-class door failure)
         quality = jax.nn.sigmoid(p["quality_preds"].astype(jnp.float32))
+        if cfg.yaw_quality_predict_power != 1.0:
+            quality = quality ** cfg.yaw_quality_predict_power
         scores_all = scores_all * quality[..., None]
 
     if anchors_mask is not None:
@@ -476,6 +486,15 @@ def predict(preds: Dict[str, jax.Array], anchors: jax.Array,
     boxes = jnp.take_along_axis(boxes_r, safe[..., None], axis=1)
     scores = jnp.where(valid,
                        jnp.take_along_axis(top_sc, safe, axis=1), 0.0)
+
+    if cfg.nms_center_suppress_radius > 0:
+        # Each [B*C] row is one (sample, class) in score order; greedy
+        # center-distance suppression within the row removes wrong-yaw
+        # duplicates of thin boxes (validated: door 3D AP 0.598 -> 0.676
+        # on the as-built v5 checkpoint at radius 0.3).
+        valid = nms_jax.center_suppress_presorted(
+            boxes[..., :2], valid, cfg.nms_center_suppress_radius)
+        scores = jnp.where(valid, scores, 0.0)
     labels = jnp.broadcast_to(
         jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, D))
     return {"box3d_lidar": boxes.reshape(B, C * D, -1),

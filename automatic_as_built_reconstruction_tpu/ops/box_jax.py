@@ -8,6 +8,7 @@ device-side half the reference implemented in torch (``box_torch_ops``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def limit_period(val, offset: float = 0.5, period: float = jnp.pi):
@@ -112,8 +113,11 @@ def bev_box_decode(encodings, anchors, encode_angle_to_vector=False,
 # corners (device)
 # ---------------------------------------------------------------------------
 
-_CORNERS2D = jnp.array(
-    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], jnp.float32)
+# numpy, NOT jnp: a module-scope jnp.array creates a device buffer at
+# import time, initializing the default backend (= grabbing a TPU-relay
+# client) in every process that merely imports the package.
+_CORNERS2D = np.array(
+    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], np.float32)
 
 
 def center_to_corner_box2d(centers, dims, angles):

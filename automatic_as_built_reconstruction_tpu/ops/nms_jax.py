@@ -180,6 +180,23 @@ def rotate_nms_keep_batch(top_boxes: jax.Array, valid: jax.Array,
     return jax.lax.cond(jnp.all(fits), pruned, full, None)
 
 
+def center_suppress_presorted(centers: jax.Array, valid: jax.Array,
+                              radius: float) -> jax.Array:
+    """Greedy suppression by BEV center distance on score-sorted rows.
+
+    centers [R, K, 2], valid [R, K] -> keep [R, K].  A detection is
+    dropped when a higher-scored KEPT detection in the same row lies
+    within ``radius`` meters.  Complements rotated-IoU NMS for thin
+    boxes: a wrong-yaw duplicate of a door has near-zero mutual IoU
+    (perpendicular thin rectangles) so NMS keeps both, but the centers
+    coincide.  Same exact-greedy fixpoint as :func:`_greedy_suppress`.
+    """
+    d2 = jnp.sum(
+        (centers[:, :, None, :] - centers[:, None, :, :]) ** 2, axis=-1)
+    near = (d2 < radius * radius).astype(jnp.float32)
+    return jax.vmap(lambda m, v: _greedy_suppress(m, v, 0.5))(near, valid)
+
+
 def _compact_keep(keep: jax.Array, top_idx: jax.Array,
                   post_max_size: int):
     """Kept score-order indices -> [post_max_size] slots (-1 pad)."""

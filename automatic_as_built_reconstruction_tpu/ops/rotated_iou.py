@@ -21,11 +21,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-# CCW unit-square corners: (-,-), (+,-), (+,+), (-,+)
-_CCW_CORNERS = jnp.array(
-    [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], jnp.float32)
+# CCW unit-square corners: (-,-), (+,-), (+,+), (-,+).
+# numpy, NOT jnp: a module-scope jnp.array creates a device buffer at
+# import time, initializing the default backend (= grabbing a TPU-relay
+# client) in every process that merely imports the package.
+_CCW_CORNERS = np.array(
+    [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], np.float32)
 
 
 def box_to_corners_ccw(boxes: jax.Array) -> jax.Array:

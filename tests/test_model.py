@@ -140,6 +140,34 @@ class TestForward:
         # (~0.73), not the bad-yaw 0.95 anchor
         assert abs(scores[valid].max() - 0.73) < 0.02
 
+    def test_center_distance_suppression(self):
+        """Two perpendicular same-center boxes survive rotated NMS (IoU
+        ~0.26 < 0.5) but center suppression keeps only the winner."""
+        cfg0 = tiny_cfg()
+        ex, _ = make_example(cfg0)
+        A = ex["anchors"].shape[1]
+        # anchors come in per-location rotation pairs (2*i, 2*i+1):
+        # same center, yaw 0 vs pi/2
+        loc = 40
+        cls = np.full((1, A, 1), -9.0, np.float32)
+        cls[0, 2 * loc, 0] = 3.0        # winner
+        cls[0, 2 * loc + 1, 0] = 2.0    # same-center perpendicular dup
+        forged = {
+            "box_preds": np.zeros((1, 16, 16, 14), np.float32),
+            "cls_preds": cls.reshape(1, 16, 16, 2),
+        }
+        preds = {k: jnp.asarray(v) for k, v in forged.items()}
+        det0 = predict(preds, ex["anchors"],
+                       tiny_cfg(use_direction_classifier=False))
+        n0 = int(np.asarray(det0["valid"]).sum())
+        det1 = predict(preds, ex["anchors"],
+                       tiny_cfg(use_direction_classifier=False,
+                                nms_center_suppress_radius=0.3))
+        n1 = int(np.asarray(det1["valid"]).sum())
+        assert n0 == 2 and n1 == 1
+        s1 = np.asarray(det1["scores"][0])
+        assert abs(s1.max() - 1 / (1 + np.exp(-3.0))) < 1e-3
+
     def test_shapes_dense_middle(self):
         cfg = tiny_cfg(vfe_name="SimpleVoxel", middle_name="DenseMiddle",
                        grid_size=(32, 32, 8),

@@ -169,6 +169,27 @@ class TestNmsParity:
         # order should both be score-descending
         np.testing.assert_array_equal(keep_j, keep_np)
 
+    def test_center_suppress_vs_oracle(self):
+        """Greedy center-distance suppression == numpy greedy loop."""
+        rng = np.random.default_rng(13)
+        R, K, r = 4, 32, 0.7
+        centers = rng.uniform(-3, 3, (R, K, 2)).astype(np.float32)
+        valid = rng.random((R, K)) > 0.2
+        keep_j = np.asarray(nms_jax.center_suppress_presorted(
+            jnp.asarray(centers), jnp.asarray(valid), r))
+        for b in range(R):
+            kept = []
+            for i in range(K):
+                if not valid[b, i]:
+                    continue
+                d = [np.hypot(*(centers[b, i] - centers[b, j]))
+                     for j in kept]
+                if all(x >= r for x in d):
+                    kept.append(i)
+            oracle = np.zeros(K, bool)
+            oracle[kept] = True
+            np.testing.assert_array_equal(keep_j[b], oracle)
+
     def test_presorted_matches_topk_variants(self):
         # rotate_nms_presorted / nearest_nms_presorted on pre-sorted rows
         # must agree with the top_k-inclusive entry points (modulo the

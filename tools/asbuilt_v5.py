@@ -56,6 +56,9 @@ def make_config(data_root: pathlib.Path, steps: int,
     m.nms_score_threshold = 0.05
     m.use_yaw_quality_head = True
     m.yaw_quality_weight = quality_weight
+    # center-distance suppression: the offline sweep on the v5
+    # checkpoint (tools/door_rank_exp.py) picked radius 0.3 / power 1
+    m.nms_center_suppress_radius = 0.3
     for cs in m.target_assigner.class_settings:
         if cs.class_name == "door":
             cs.anchor_generator_range.matched_threshold = 0.62
