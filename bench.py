@@ -781,6 +781,18 @@ def main():
 
     import jax
 
+    # persistent compilation cache: the headline's first program costs
+    # ~3-7 min of XLA compile; across bench runs the programs are
+    # identical, so a disk cache can hand the driver's run the headline
+    # in seconds.  Harmless if the backend ignores it.
+    try:
+        cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     if SMOKE:
         # honor JAX_PLATFORMS despite the sitecustomize force-set (which
         # would otherwise route the smoke run to the TPU relay)
