@@ -160,7 +160,10 @@ class SparseMiddle(nn.Module):
     # size the window from real rulebooks with sgg.choose_window —
     # over-span tiles silently fall back to XLA (check sgg.pallas_fits)
     pallas_tile: int = 256
-    pallas_window: int = 768
+    # one global window, or a per-BLOCK tuple (len == number of blocks):
+    # the one-hot gather does tile*window*Cin work per tap, so blocks
+    # with tight key spans should not pay the worst block's window
+    pallas_window: int | Tuple[int, ...] = 768
     # key-match serving mode: skip building rulebooks entirely — the
     # Pallas kernel joins sorted input keys against per-tap query keys
     # with an in-VMEM equality compare (sgg.keymatch_gemm).  The only
@@ -210,6 +213,9 @@ class SparseMiddle(nn.Module):
                   and rulebooks is None)
 
         for bi, blk in enumerate(self.plan(V)):
+            win_b = (int(self.pallas_window[bi])
+                     if isinstance(self.pallas_window, (tuple, list))
+                     else int(self.pallas_window))
             # submanifold stack (shared rulebook per block)
             rb = layout = sites = None
             qk_subm = qk_str = in_keys = None
@@ -265,7 +271,7 @@ class SparseMiddle(nn.Module):
                     feats = jax.lax.map(
                         lambda a: sgg.keymatch_gemm(
                             a[0], a[1], a[2], wd, None,
-                            self.pallas_tile, self.pallas_window),
+                            self.pallas_tile, win_b),
                         (feats, in_keys, qk_subm))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
@@ -277,7 +283,7 @@ class SparseMiddle(nn.Module):
                     feats = jax.lax.map(
                         lambda a: sgg.gather_gemm(
                             a[0], a[1], a[2], wd, None,
-                            self.pallas_tile, self.pallas_window),
+                            self.pallas_tile, win_b),
                         (feats, rb.gather_idx, rb.found))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
@@ -298,7 +304,7 @@ class SparseMiddle(nn.Module):
                 # the xy area in INPUT space, so the strided join's
                 # window must scale with the xy downsampling factor or
                 # every xy-strided block would route to the XLA fallback
-                win_str = self.pallas_window * int(blk.stride[1]
+                win_str = win_b * int(blk.stride[1]
                                                    * blk.stride[2])
                 feats = jax.lax.map(
                     lambda a: sgg.keymatch_gemm(
@@ -314,7 +320,7 @@ class SparseMiddle(nn.Module):
                 feats = jax.lax.map(
                     lambda a: sgg.gather_gemm(
                         a[0], a[1], a[2], wd, None,
-                        self.pallas_tile, self.pallas_window),
+                        self.pallas_tile, win_b),
                     (feats, layout.gather_idx, layout.found))
                 out_valid, out_coords = layout.out_valid, layout.out_coords
                 num_out = layout.num_out

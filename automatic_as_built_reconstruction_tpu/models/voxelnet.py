@@ -15,7 +15,7 @@ UNVERIFIED]):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -157,8 +157,16 @@ class VoxelNetConfig:
     sparse_use_pallas_gemm: bool = False  # sparse middle gather-GEMM via
                                           # ops/pallas/sparse_gather_gemm
     sparse_pallas_tile: int = 256         # Pallas kernel rows per tile
-    sparse_pallas_window: int = 768       # Pallas DMA window (see
-                                          # sgg.choose_window)
+    sparse_pallas_window: Union[int, Tuple[int, ...]] = 768
+                                          # Pallas DMA window (see
+                                          # sgg.choose_window); a tuple
+                                          # gives each middle BLOCK its
+                                          # own window — the one-hot
+                                          # gather costs tile*window*Cin
+                                          # per tap, so per-block sizing
+                                          # (sgg.choose_windows) cuts the
+                                          # dominant blocks' work vs one
+                                          # global worst-case window
     sparse_keymatch: bool = False         # join keys INSIDE the kernel
                                           # (serving: no rulebook build)
     sparse_capacity_shrink: Optional[float] = None

@@ -313,6 +313,20 @@ def choose_window(rulebooks, n_rows: int, tile: int = 256,
     return bound
 
 
+def choose_windows(per_block_rulebooks, n_rows: int, tile: int = 256,
+                   **kw) -> tuple:
+    """Per-BLOCK windows: ``choose_window`` over each block's own books.
+
+    ``per_block_rulebooks``: sequence (one entry per middle block) of
+    rulebook iterables in :func:`choose_window`'s format.  The one-hot
+    gather costs tile*window*Cin per tap, so early blocks with tight key
+    spans should not pay the worst block's window — feed the result to
+    ``SparseMiddle.pallas_window`` / ``VoxelNetConfig
+    .sparse_pallas_window`` as a tuple (len == number of blocks)."""
+    return tuple(choose_window(books, n_rows, tile, **kw)
+                 for books in per_block_rulebooks)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def gather_gemm(features: jax.Array, gather_idx: jax.Array,
                 found: jax.Array, weights: jax.Array,

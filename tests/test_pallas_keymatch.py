@@ -158,3 +158,43 @@ class TestSparseMiddleKeymatch:
         out = m_km.apply(variables, fj, cj)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_per_block_windows_match_global(self):
+        """A per-block window tuple is numerically identical to the
+        global window (window only affects routing/DMA coverage), even
+        when one block's window forces the XLA fallback."""
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        from automatic_as_built_reconstruction_tpu.ops.pallas import (
+            sparse_gather_gemm as sgg)
+        rng = np.random.default_rng(4)
+        B, V = 2, 96
+        D, H, W = 8, 16, 16
+        coords = np.full((B, V, 3), -1, np.int32)
+        feats = np.zeros((B, V, 4), np.float32)
+        for b in range(B):
+            n = 48
+            lin = rng.choice(D * H * W, n, replace=False)
+            zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+            key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+            coords[b, :n] = zyx[np.argsort(key)]
+            feats[b, :n] = rng.normal(size=(n, 4))
+        kw = dict(grid_dhw=(D, H, W), num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 1),
+                  z_strides=(2, 2), xy_strides=(2, 2),
+                  use_pallas_gemm=True, use_keymatch=True, pallas_tile=8)
+        m_glob = SparseMiddle(pallas_window=96, **kw)
+        m_tup = SparseMiddle(pallas_window=(96, 32), **kw)
+        fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+        variables = m_glob.init(jax.random.key(0), fj, cj)
+        ref = m_glob.apply(variables, fj, cj)
+        out = m_tup.apply(variables, fj, cj)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-4)
+        # choose_windows: per-block helper returns one window per block
+        gi = np.zeros((3, 16), np.int64)
+        fo = np.ones((3, 16), bool)
+        wins = sgg.choose_windows([[(gi, fo)], [(gi, fo, 32)]], 96,
+                                  tile=8)
+        assert len(wins) == 2 and all(w % 128 == 0 or w >= 32
+                                      for w in wins)
