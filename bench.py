@@ -369,29 +369,47 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         fallback_rate = float(cached["pallas_fallback_rate"])
         km_window = int(cached["keymatch_window"])
         km_miss = float(cached["keymatch_fallback_rate"])
+        # per-block windows (newer caches): the one-hot gather costs
+        # tile*window*Cin per tap, so each block pays its own span
+        # instead of the global worst case
+        windows_pb = cached.get("pallas_windows")
+        km_windows = cached.get("keymatch_windows")
         _progress(f"fhd: autotune cache hit (window={window}, "
-                  f"km_window={km_window})")
+                  f"km_window={km_window}, per_block={km_windows})")
     else:
         _progress("fhd: building telemetry rulebooks on device "
                   "(uncached: ~17 min)")
         books = _device_rulebooks(jax, jnp, vox0.coords[0], plan)
-        window = sgg.choose_window(books, VCAP,
-                                   tile=vcfg.sparse_pallas_tile)
+        # group the flat book list back into blocks ([subm?] + strided,
+        # mirroring _device_rulebooks' append order) for per-block tuning
+        per_block, i = [], 0
+        for blk in plan:
+            cnt = (1 if blk.n_subm > 0 else 0) + 1
+            per_block.append(books[i:i + cnt])
+            i += cnt
+        windows_pb = list(sgg.choose_windows(per_block, VCAP,
+                                             tile=vcfg.sparse_pallas_tile))
+        window = max(windows_pb)
         n_fit = sum(
             bool(sgg.pallas_fits(gi, fo, n, tile=vcfg.sparse_pallas_tile,
                                  window=window))
             for gi, fo, n in books)
         fallback_rate = 1.0 - n_fit / max(len(books), 1)
-        km_window = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
-                                       vcfg.sparse_pallas_tile)
+        km_windows = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
+                                        vcfg.sparse_pallas_tile)
+        km_window = max(km_windows)
         km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
-                                      vcfg.sparse_pallas_tile, km_window)
+                                      vcfg.sparse_pallas_tile, km_windows)
         _cache_store(cache_params, {
             "pallas_window": window,
+            "pallas_windows": windows_pb,
             "pallas_fallback_rate": round(fallback_rate, 3),
             "keymatch_window": km_window,
+            "keymatch_windows": km_windows,
             "keymatch_fallback_rate": round(km_miss, 3)})
-    vcfg = dataclasses.replace(vcfg, sparse_pallas_window=window)
+    vcfg = dataclasses.replace(
+        vcfg, sparse_pallas_window=(tuple(int(w) for w in windows_pb)
+                                    if windows_pb else window))
 
     model = VoxelNet(cfg=vcfg)
     anchors = jnp.asarray(anchors_np)
@@ -418,8 +436,10 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     # strided blocks' output-site sort.  Its (shared) window is sized
     # from this scan's measured per-tile union spans, independently of
     # the rulebook-mode window (cached above).
-    vcfg_km = dataclasses.replace(vcfg, sparse_keymatch=True,
-                                  sparse_pallas_window=km_window)
+    vcfg_km = dataclasses.replace(
+        vcfg, sparse_keymatch=True,
+        sparse_pallas_window=(tuple(int(w) for w in km_windows)
+                              if km_windows else km_window))
     model_km = VoxelNet(cfg=vcfg_km)
 
     def stage_full_km(i, pts0):
@@ -472,8 +492,10 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "second_fhd_rulebook_scans_per_sec": (
             round(B / dt_rb, 2) if np.isfinite(dt_rb) else None),
         "pallas_window": window,
+        "pallas_windows_per_block": windows_pb,
         "pallas_fallback_rate": round(fallback_rate, 3),
         "keymatch_window": km_window,
+        "keymatch_windows_per_block": km_windows,
         "keymatch_fallback_rate": round(km_miss, 3),
     }
     # host pipeline runs as a separate closure so main() can emit the
@@ -519,18 +541,21 @@ def _device_rulebooks(jax, jnp, coords0, plan):
 
 
 def _keymatch_autotune(jax, jnp, coords0, plan, tile):
-    """Pick the base key-match window from this scan's measured
-    per-tile UNION spans (shared-window kernel): the base must cover
-    every subm join directly and every strided join after the
-    xy-stride-area scaling SparseMiddle applies."""
+    """Per-BLOCK base key-match windows from this scan's measured
+    per-tile UNION spans (shared-window kernel): each block's base must
+    cover its subm joins directly and its strided join after the
+    xy-stride-area scaling SparseMiddle applies.  Returns a list (one
+    window per block) — the global worst case is its max."""
     from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
     from automatic_as_built_reconstruction_tpu.ops.pallas import (
         sparse_gather_gemm as sgg)
 
-    need = 128
+    vmem_cap = (8 << 20) // (2 * 64 * 2) // 128 * 128
+    needs = []
     coords = coords0
     valid = coords[..., 0] >= 0
     for blk in plan:
+        need = 128
         in_keys = np.asarray(
             jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords))
         if blk.n_subm > 0:
@@ -550,40 +575,44 @@ def _keymatch_autotune(jax, jnp, coords0, plan, tile):
             base = -(-(-(-int(spans.max()) // area)) // 128) * 128
             need = max(need, base)
         coords, valid = sites.out_coords, sites.out_valid
-    vmem_cap = (8 << 20) // (2 * 64 * 2) // 128 * 128
-    return int(min(max(need, 128), 4096, max(vmem_cap, 128)))
+        needs.append(int(min(max(need, 128), 4096, max(vmem_cap, 128))))
+    return needs
 
 
 def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window):
     """Fraction of the middle stack's key-match joins (one per subm
     stack + one per strided conv) that would route to the XLA fallback
-    instead of the Pallas key-match kernel on this scan."""
+    instead of the Pallas key-match kernel on this scan.  ``window``:
+    one int or a per-block list (mirror of SparseMiddle.pallas_window)."""
     from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
     from automatic_as_built_reconstruction_tpu.ops.pallas import (
         sparse_gather_gemm as sgg)
 
-    def tiled(join_rows):
-        # joins whose padded table is smaller than one DMA window take
-        # the cheap small-table XLA path BY DESIGN (keymatch_fits's
-        # shortcut) — they are not kernel misses
-        return window <= -(-join_rows // tile) * tile
-
     fits, total = 0, 0
     coords = coords0
     valid = coords[..., 0] >= 0
-    for blk in plan:
+    for bi, blk in enumerate(plan):
+        win = (int(window[bi]) if isinstance(window, (list, tuple))
+               else int(window))
+
+        def tiled(join_rows):
+            # joins whose padded table is smaller than one DMA window
+            # take the cheap small-table XLA path BY DESIGN
+            # (keymatch_fits's shortcut) — they are not kernel misses
+            return win <= -(-join_rows // tile) * tile
+
         in_keys = jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords)
         if blk.n_subm > 0 and tiled(coords.shape[0]):
             qk = jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
                 c, v, b.grid, b.subm_kernel))(coords, valid)
-            fits += int(sgg.keymatch_fits(in_keys, qk, tile, window))
+            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win))
             total += 1
         sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
             c, v, b.grid, b.kernel, b.stride, b.pad,
             b.out_cap))(coords, valid)
         # strided joins scale the window by the xy stride area — mirror
         # of SparseMiddle's keymatch dispatch
-        win_str = window * int(blk.stride[1] * blk.stride[2])
+        win_str = win * int(blk.stride[1] * blk.stride[2])
         if win_str <= -(-max(coords.shape[0], blk.out_cap)
                         // tile) * tile:
             qk = jax.jit(lambda s, b=blk: sc.strided_tap_keys(
