@@ -24,6 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..builder import (box_coder_builder, config_io, input_reader_builder,
                        optimizer_builder, second_builder,
                        target_assigner_builder, voxel_builder)
+
+# Persistent XLA compilation cache: chunked training (fresh process per
+# chunk, resuming from orbax — the relay leaks host RSS per dispatched
+# step) re-compiles an identical train-step program every restart,
+# ~5-10 min each through the relay.  The disk cache hands it back in
+# seconds (verified working for bench.py's programs: .jax_cache).
+try:
+    _cache_dir = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    _cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 from ..data import batching
 from ..models import voxelnet as voxelnet_mod
 from . import checkpoint as ckpt_mod
