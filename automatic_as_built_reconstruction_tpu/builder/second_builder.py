@@ -79,6 +79,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         sparse_use_pallas_gemm=model_cfg.use_pallas_sparse_gemm,
         sparse_out_caps=(tuple(int(c) for c in mid.out_site_caps)
                          or None),
+        sparse_dense_tail_blocks=int(mid.dense_tail_blocks),
         middle_num_filters=middle_filters,
         middle_layers_per_block=middle_layers,
         middle_z_strides=middle_z,

@@ -178,6 +178,17 @@ class SparseMiddle(nn.Module):
     # transient HBM.  Blocks exceeding the budget use the sort-based
     # builders instead (no table, ~10x slower construction).
     lut_hbm_budget_bytes: int = 2 << 30
+    # run the LAST N blocks dense: scatter the remaining active sites
+    # into a dense [D, H, W, C] grid once and finish with plain XLA 3D
+    # convs + active-site masks (exact submanifold/strided semantics —
+    # masking after every conv reproduces the sparse outputs at active
+    # sites, see tests).  After 2-3 downsamples the active-site density
+    # reaches 4-20% (tools/span_analysis.py) and the one-hot gather's
+    # tile*window*Cin MXU cost exceeds a dense conv's cells*K*Cin —
+    # e.g. the FHD block-3 subm stack costs ~214 GMACs sparse vs
+    # ~59 GMACs dense.  Weights/BN are SHARED with the sparse path
+    # (same param names), so any checkpoint runs either way.
+    dense_tail_blocks: int = 0
 
     def _conv_params(self, name, k, cin, cout):
         w = self.param(f"{name}_w", _sparse_kernel_init, (k, cin, cout))
@@ -212,7 +223,23 @@ class SparseMiddle(nn.Module):
         use_km = (self.use_keymatch and self.use_pallas_gemm
                   and rulebooks is None)
 
-        for bi, blk in enumerate(self.plan(V)):
+        plan = self.plan(V)
+        dense_from = (len(plan) - self.dense_tail_blocks
+                      if self.dense_tail_blocks > 0 else len(plan))
+        x = mask = None   # dense-tail carriers
+
+        for bi, blk in enumerate(plan):
+            if bi >= dense_from:
+                if x is None:   # transition: scatter sparse -> dense once
+                    x = scatter_to_dense(feats, cur_coords, blk.grid)
+                    mask = scatter_to_dense(
+                        jnp.ones((B, feats.shape[1], 1), self.dtype),
+                        cur_coords, blk.grid)
+                x, mask, cin = self._dense_block(x, mask, blk, bi, cin,
+                                                 train)
+                self.sow("intermediates", f"b{bi}_capacity_saturated",
+                         jnp.zeros((), jnp.int32))   # dense: no caps
+                continue
             win_b = (int(self.pallas_window[bi])
                      if isinstance(self.pallas_window, (tuple, list))
                      else int(self.pallas_window))
@@ -346,6 +373,64 @@ class SparseMiddle(nn.Module):
             cin = blk.cout
             final_grid = blk.out_grid
 
+        if x is not None:   # dense tail: the grid IS the BEV source
+            Bx, Dx, Hx, Wx, Cx = x.shape
+            return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(
+                Bx, Hx, Wx, Dx * Cx)
         bev = jax.vmap(functools.partial(
             sc.scatter_to_bev, grid_dhw=final_grid))(feats, cur_coords, valid)
         return bev
+
+    def _dense_block(self, x, mask, blk, bi: int, cin: int, train: bool):
+        """One middle block on the dense [B, D, H, W, C] carrier.
+
+        Exact sparse semantics: inactive cells are zero, every conv
+        output is re-masked to the active set, and the strided conv's
+        output mask is the dilation of the input mask by the kernel
+        footprint (= the sparse builders' output sites, minus their
+        static capacity truncation).  Weights and MaskedBatchNorm
+        variables use the sparse path's names, so checkpoints are
+        interchangeable between paths.
+        """
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+
+        def bn_relu(x, mask, name):
+            Bx = x.shape[0]
+            C = x.shape[-1]
+            flat = MaskedBatchNorm(name=name)(
+                x.reshape(Bx, -1, C),
+                mask.reshape(Bx, -1) > 0, train=train)
+            return nn.relu(flat.reshape(x.shape))
+
+        k_subm = int(np.prod(blk.subm_kernel))
+        for li in range(blk.n_subm):
+            w = self._conv_params(f"b{bi}_subm{li}", k_subm, cin,
+                                  blk.subm_channels)
+            x = jax.lax.conv_general_dilated(
+                x, w.reshape(tuple(blk.subm_kernel)
+                             + (cin, blk.subm_channels)).astype(self.dtype),
+                window_strides=(1, 1, 1),
+                padding=[(k // 2, k // 2) for k in blk.subm_kernel],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(self.dtype)
+            x = bn_relu(x, mask, f"b{bi}_subm{li}_bn")
+            cin = blk.subm_channels
+
+        k_down = int(np.prod(blk.kernel))
+        w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
+        x = jax.lax.conv_general_dilated(
+            x, w.reshape(tuple(blk.kernel)
+                         + (cin, blk.cout)).astype(self.dtype),
+            window_strides=tuple(blk.stride),
+            padding=[(p, p) for p in blk.pad],
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        # output sites = any active input in the receptive field
+        mask = (jax.lax.reduce_window(
+            mask, 0.0, jax.lax.max,
+            (1,) + tuple(blk.kernel) + (1,),
+            (1,) + tuple(blk.stride) + (1,),
+            ((0, 0),) + tuple((p, p) for p in blk.pad) + ((0, 0),)
+        ) > 0).astype(self.dtype)
+        x = bn_relu(x, mask, f"b{bi}_down_bn")
+        return x, mask, blk.cout

@@ -180,6 +180,12 @@ class VoxelNetConfig:
                                           # measured from data
                                           # (sc.measure_site_caps /
                                           # out_site_caps config field)
+    sparse_dense_tail_blocks: int = 0     # run the last N middle blocks
+                                          # as masked DENSE convs: past
+                                          # ~4% active-site density the
+                                          # one-hot gather costs more
+                                          # MXU work than a plain dense
+                                          # conv (tools/span_analysis.py)
     # post-processing
     post_center_limit_range: Optional[Tuple[float, ...]] = None
     nms_class_agnostic: bool = False
@@ -251,6 +257,7 @@ class VoxelNet(nn.Module):
                 kwargs["blocks"] = cfg.middle_blocks
                 kwargs["capacity_shrink"] = cfg.sparse_capacity_shrink
                 kwargs["out_caps"] = cfg.sparse_out_caps
+                kwargs["dense_tail_blocks"] = cfg.sparse_dense_tail_blocks
                 grid_dhw = (grid_dhw[0] + cfg.middle_zpad, grid_dhw[1],
                             grid_dhw[2])
             middle = middle_cls(

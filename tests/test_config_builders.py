@@ -167,3 +167,12 @@ class TestSecondConfigs:
             assert mcfg.middle_num_filters == (16, 32, 64, 64)
             assert mcfg.middle_xy_strides == (2, 2, 2, 1)
             assert fmap == (1, 200, 176)
+
+    def test_dense_tail_blocks_wired(self, pp_cfg):
+        m = pp_cfg.model.second
+        m.middle_feature_extractor.dense_tail_blocks = 2
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        _, cfg, _ = second_builder.build(m, gen, assigner)
+        assert cfg.sparse_dense_tail_blocks == 2

@@ -108,3 +108,73 @@ class TestVoxelNetWithSparseMiddle:
         assert np.isfinite(float(loss))
         gnorm = float(optax.global_norm(grads))
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestDenseTail:
+    """Hybrid dense-tail parity: running the last N blocks as masked
+    dense convs must reproduce the fully-sparse outputs exactly (same
+    params; capacities ample so the sparse path does not truncate)."""
+
+    def _mods(self, n_tail, grid=(8, 16, 16)):
+        # out_caps = full cell counts: the sparse path must not truncate
+        # (the dense path has no capacity truncation to mirror)
+        kw = dict(grid_dhw=grid, num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 2),
+                  z_strides=(2, 2), xy_strides=(1, 2),
+                  out_caps=(1024, 128))
+        return (SparseMiddle(**kw),
+                SparseMiddle(dense_tail_blocks=n_tail, **kw))
+
+    @pytest.mark.parametrize("n_tail", [1, 2])
+    def test_eval_parity(self, n_tail):
+        rng = np.random.default_rng(7)
+        _, _, coords = sparse_batch(rng)
+        feats = jnp.asarray(rng.normal(size=(2, 128, 4)).astype(np.float32))
+        sparse, hybrid = self._mods(n_tail)
+        variables = sparse.init(jax.random.key(0), feats, coords)
+        # identical param pytrees: the dense path must create the same
+        # conv weights and BN variables as the sparse path
+        vh = hybrid.init(jax.random.key(0), feats, coords)
+        assert (jax.tree.structure(variables) == jax.tree.structure(vh))
+        out_s = sparse.apply(variables, feats, coords)
+        out_h = hybrid.apply(variables, feats, coords)
+        assert out_s.shape == out_h.shape
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_h),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_train_stats_parity(self):
+        rng = np.random.default_rng(8)
+        _, _, coords = sparse_batch(rng)
+        feats = jnp.asarray(rng.normal(size=(2, 128, 4)).astype(np.float32))
+        sparse, hybrid = self._mods(1)
+        variables = sparse.init(jax.random.key(0), feats, coords)
+        out_s, ms = sparse.apply(variables, feats, coords, train=True,
+                                 mutable=["batch_stats"])
+        out_h, mh = hybrid.apply(variables, feats, coords, train=True,
+                                 mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_h),
+                                   atol=2e-4, rtol=1e-4)
+        key = lambda kv: str(kv[0])
+        for (ks, vs), (kh, vh) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(ms), key=key),
+                sorted(jax.tree_util.tree_leaves_with_path(mh), key=key)):
+            np.testing.assert_allclose(np.asarray(vs), np.asarray(vh),
+                                       atol=1e-4, err_msg=str(ks))
+
+    def test_grad_flows(self):
+        rng = np.random.default_rng(9)
+        _, _, coords = sparse_batch(rng)
+        feats = jnp.asarray(rng.normal(size=(2, 128, 4)).astype(np.float32))
+        _, hybrid = self._mods(2)
+        variables = hybrid.init(jax.random.key(0), feats, coords)
+
+        def loss_fn(params):
+            out, _ = hybrid.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                feats, coords, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        gnorm = float(optax.global_norm(g))
+        assert np.isfinite(gnorm) and gnorm > 0
