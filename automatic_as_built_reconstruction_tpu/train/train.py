@@ -70,11 +70,21 @@ class Bundle:
         v_cap = (int(reader_cfg.preprocess.max_number_of_voxels)
                  or 12000)
         plan = voxelnet_mod.middle_plan(self.model_cfg, v_cap)
+        out_caps = self.model_cfg.sparse_out_caps
+        tail = self.model_cfg.sparse_dense_tail_blocks
+        if plan is not None and tail > 0:
+            # dense-tail blocks run as masked dense convs — no host
+            # rulebooks needed (and none built: host prep is the
+            # training bottleneck on this box)
+            keep = max(len(plan) - tail, 0)
+            plan = plan[:keep] or None
+            if out_caps is not None:
+                out_caps = out_caps[:keep] or None
         return input_reader_builder.build(
             reader_cfg, training, self.voxel_generator, self.target_assigner,
             self.feature_map_size, seed=seed, middle_plan=plan,
             capacity_shrink=self.model_cfg.sparse_capacity_shrink,
-            out_caps=self.model_cfg.sparse_out_caps)
+            out_caps=out_caps)
 
 
 def make_mesh(num_devices: Optional[int]) -> Optional[Mesh]:
@@ -126,13 +136,18 @@ def init_state(bundle: Bundle, rng_seed: int = 0, example=None,
 
 
 def _middle_rulebooks(example, cfg):
-    """Pull host-precomputed rulebooks (rb* keys) out of an example."""
+    """Pull host-precomputed rulebooks (rb* keys) out of an example.
+
+    The block count comes from the keys actually present — with
+    ``sparse_dense_tail_blocks`` the host pipeline only builds books for
+    the leading sparse blocks."""
     from ..ops import rulebook_host
     _, rb_flat = rulebook_host.split_example(example)
     if not rb_flat:
         return None
-    return rulebook_host.unflatten(rb_flat,
-                                   voxelnet_mod.num_middle_blocks(cfg))
+    n = sum(1 for k in rb_flat if k.endswith("_out_valid"))
+    return rulebook_host.unflatten(
+        rb_flat, min(n, voxelnet_mod.num_middle_blocks(cfg)))
 
 
 def make_train_step(bundle: Bundle, tx, mesh: Optional[Mesh] = None):

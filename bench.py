@@ -452,8 +452,27 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
                 + jnp.sum(det["scores"]))
 
     pts = jnp.asarray(base)
+    # --- key-match + dense tail: the last 2 blocks reach 4-22%
+    # active-site density, where a plain masked dense conv costs less
+    # MXU work than the one-hot gather (tools/span_analysis.py;
+    # models.middle.SparseMiddle.dense_tail_blocks) — same checkpoint,
+    # exact semantics minus capacity truncation
+    vcfg_dt = dataclasses.replace(vcfg_km, sparse_dense_tail_blocks=2)
+    model_dt = VoxelNet(cfg=vcfg_dt)
+
+    def stage_full_dt(i, pts0):
+        r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
+        preds = model_dt.apply(variables, r.voxels, r.num_points,
+                               r.coords, train=False)
+        det = voxelnet_mod.predict(preds, anchors_b, vcfg_dt)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
     _progress("fhd: timing device-only full pipeline (key-match mode)")
     dt_km = _loop_delta(jax, jnp, stage_full_km, (pts,), 1, 3)
+    _progress("fhd: timing full pipeline (key-match + dense-tail mode)")
+    dt_dt = _loop_delta(jax, jnp, stage_full_dt, (pts,), 1, 3)
     _progress("fhd: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
     if FULL:
@@ -464,15 +483,15 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         # ~7x slower than key-match at honest capacities (its merge-join
         # build dominates) — FULL-mode extras only
         dt_rb = float("inf")
-    # headline = the better serving configuration (both are full
+    # headline = the best serving configuration (all are full
     # pipelines: voxelize -> middle -> RPN -> decode + rotated NMS)
-    dt_full = min(dt_rb, dt_km)
+    dt_full = min(dt_rb, dt_km, dt_dt)
     device_sps = B / dt_full
 
-    # cost analysis on the key-match program (the headline path); the
-    # rulebook program would be a second full-stack compile
+    # cost analysis on the headline path's program
+    stage_best = stage_full_dt if dt_dt <= dt_km else stage_full_km
     flops = _flops_of(
-        jax, lambda p: stage_full_km(jnp.float32(1.0), p), pts)
+        jax, lambda p: stage_best(jnp.float32(1.0), p), pts)
     flops_per_scan = flops / B if flops else None
     mfu = (flops_per_scan / (dt_full / B) / V5E_BF16_PEAK_FLOPS
            if flops_per_scan else None)
@@ -489,6 +508,7 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         },
         "second_fhd_mfu": round(mfu, 4) if mfu else None,
         "second_fhd_keymatch_scans_per_sec": round(B / dt_km, 2),
+        "second_fhd_densetail_scans_per_sec": round(B / dt_dt, 2),
         "second_fhd_rulebook_scans_per_sec": (
             round(B / dt_rb, 2) if np.isfinite(dt_rb) else None),
         "pallas_window": window,

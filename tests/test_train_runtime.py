@@ -409,3 +409,45 @@ class TestBucketedSparse:
         state = train_mod.train(bucket_cfg_path, tmp_path / "bkt",
                                 max_steps=2, display_step=1)
         assert int(state["step"]) == 2
+
+
+DENSE_TAIL_CONFIG = SPARSE_MICRO_CONFIG.replace(
+    "downsample_factor: 8",
+    "downsample_factor: 8\n      dense_tail_blocks: 1",
+)
+
+
+@pytest.fixture(scope="module")
+def dense_tail_cfg_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "micro_dense_tail.config"
+    p.write_text(DENSE_TAIL_CONFIG)
+    return p
+
+
+class TestDenseTailTrainRuntime:
+    """sparse middle with dense_tail_blocks: the trailing blocks run as
+    masked dense convs — no host rulebooks are built for them and the
+    train/eval loop works end to end."""
+
+    def test_tail_blocks_skip_host_rulebooks(self, dense_tail_cfg_path):
+        from automatic_as_built_reconstruction_tpu.data import batching
+        bundle = train_mod.Bundle(dense_tail_cfg_path)
+        assert bundle.model_cfg.sparse_dense_tail_blocks == 1
+        from automatic_as_built_reconstruction_tpu.models import (
+            voxelnet as voxelnet_mod)
+        n_blocks = voxelnet_mod.num_middle_blocks(bundle.model_cfg)
+        _, loader = bundle.input_reader(training=True)
+        batch = next(iter(loader))
+        example = batching.device_example(batch)
+        assert "rb0_subm_idx" in example
+        for bi in range(n_blocks - 1, n_blocks):
+            assert f"rb{bi}_out_valid" not in example
+
+    def test_train_eval_dense_tail(self, dense_tail_cfg_path, tmp_path):
+        model_dir = tmp_path / "dense_tail_run"
+        state = train_mod.train(dense_tail_cfg_path, model_dir,
+                                max_steps=2, display_step=1)
+        assert int(state["step"]) == 2
+        result = train_mod.evaluate(dense_tail_cfg_path, model_dir)
+        assert "mAP.bev" in result
+        assert np.isfinite(result["mAP.bev"])
