@@ -427,7 +427,7 @@ class SparseMiddle(nn.Module):
             preferred_element_type=jnp.float32).astype(self.dtype)
         # output sites = any active input in the receptive field
         mask = (jax.lax.reduce_window(
-            mask, 0.0, jax.lax.max,
+            mask, jnp.zeros((), mask.dtype), jax.lax.max,
             (1,) + tuple(blk.kernel) + (1,),
             (1,) + tuple(blk.stride) + (1,),
             ((0, 0),) + tuple((p, p) for p in blk.pad) + ((0, 0),)

@@ -115,15 +115,15 @@ class TestDenseTail:
     dense convs must reproduce the fully-sparse outputs exactly (same
     params; capacities ample so the sparse path does not truncate)."""
 
-    def _mods(self, n_tail, grid=(8, 16, 16)):
+    def _mods(self, n_tail, grid=(8, 16, 16), dtype=jnp.float32):
         # out_caps = full cell counts: the sparse path must not truncate
         # (the dense path has no capacity truncation to mirror)
         kw = dict(grid_dhw=grid, num_input_features=4,
                   num_filters=(8, 16), layers_per_block=(1, 2),
                   z_strides=(2, 2), xy_strides=(1, 2),
                   out_caps=(1024, 128))
-        return (SparseMiddle(**kw),
-                SparseMiddle(dense_tail_blocks=n_tail, **kw))
+        return (SparseMiddle(dtype=dtype, **kw),
+                SparseMiddle(dense_tail_blocks=n_tail, dtype=dtype, **kw))
 
     @pytest.mark.parametrize("n_tail", [1, 2])
     def test_eval_parity(self, n_tail):
@@ -160,6 +160,20 @@ class TestDenseTail:
                 sorted(jax.tree_util.tree_leaves_with_path(mh), key=key)):
             np.testing.assert_allclose(np.asarray(vs), np.asarray(vh),
                                        atol=1e-4, err_msg=str(ks))
+
+    def test_bf16_runs(self):
+        # the serving path runs bf16: exercise dtype handling (the
+        # reduce_window mask dilation once mixed f32/bf16)
+        rng = np.random.default_rng(11)
+        _, _, coords = sparse_batch(rng)
+        feats = jnp.asarray(rng.normal(size=(2, 128, 4)).astype(np.float32))
+        sparse, hybrid = self._mods(2, dtype=jnp.bfloat16)
+        variables = sparse.init(jax.random.key(0), feats, coords)
+        out_s = sparse.apply(variables, feats, coords)
+        out_h = hybrid.apply(variables, feats, coords)
+        np.testing.assert_allclose(np.asarray(out_s, np.float32),
+                                   np.asarray(out_h, np.float32),
+                                   atol=0.05, rtol=0.05)
 
     def test_grad_flows(self):
         rng = np.random.default_rng(9)
