@@ -121,6 +121,11 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         nms_score_threshold=model_cfg.nms_score_threshold or 0.05,
         nms_iou_threshold=model_cfg.nms_iou_threshold or 0.5,
         nms_center_suppress_radius=model_cfg.nms_center_suppress_radius,
+        yaw_point_refine_classes=tuple(
+            target_assigner.classes.index(c)
+            for c in model_cfg.yaw_point_refine_classes
+            if c in target_assigner.classes),
+        yaw_point_refine_recenter=model_cfg.yaw_point_refine_recenter,
     )
     model = VoxelNet(cfg=cfg)
     fmap = feature_map_size_from(model_cfg, grid_size)

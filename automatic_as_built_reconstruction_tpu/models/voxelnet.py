@@ -143,6 +143,12 @@ class VoxelNetConfig:
     # (meters; 0 disables) — kills wrong-yaw duplicates of thin boxes
     # that rotated NMS can't see (near-zero mutual IoU, same center)
     nms_center_suppress_radius: float = 0.0
+    # host-side post-NMS point-evidence pose refinement (class indices,
+    # 0-based): snap thin planar elements' yaw (+ centre with recenter)
+    # onto the local supporting point plane at eval/serving time
+    # (core.point_refine) — runs OUTSIDE the jit program
+    yaw_point_refine_classes: tuple = ()
+    yaw_point_refine_recenter: bool = False
     pos_cls_weight: float = 1.0
     neg_cls_weight: float = 1.0
     focal_gamma: float = 2.0

@@ -534,6 +534,19 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
             prev = cum[name]
     dataset = prep_ds.dataset
     n = min(len(detections), len(dataset))
+    refine_cls = bundle.model_cfg.yaw_point_refine_classes
+    if refine_cls:
+        # post-NMS point-evidence pose refinement (host-side): snap thin
+        # planar detections onto the scene's supporting point plane.
+        # Detections are in dataset order (sequential eval loader) —
+        # the same assumption dataset.evaluation makes below.
+        from ..core import point_refine
+        for i in range(n):
+            pts = np.asarray(
+                dataset.get_sensor_data(i)["lidar"]["points"])
+            detections[i] = point_refine.refine_detections(
+                detections[i], pts, classes=refine_cls,
+                recenter=bundle.model_cfg.yaw_point_refine_recenter)
     result = dataset.evaluation(detections[:n], output_dir=output_dir)
     return result
 

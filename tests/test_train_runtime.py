@@ -148,6 +148,24 @@ class TestTrainRuntime:
 
         result = train_mod.evaluate(micro_cfg_path, model_dir)
         assert "mAP.bev" in result
+
+    def test_evaluate_with_point_refine(self, tmp_path):
+        # yaw_point_refine_* flows proto -> builder (name -> index) ->
+        # evaluate's host-side post-NMS refinement
+        cfg = MICRO_CONFIG.replace(
+            "nms_iou_threshold: 0.3",
+            'nms_iou_threshold: 0.3\n'
+            '    yaw_point_refine_classes: "wall"\n'
+            '    yaw_point_refine_recenter: true')
+        cfg_path = tmp_path / "refine.config"
+        cfg_path.write_text(cfg)
+        bundle = train_mod.Bundle(str(cfg_path))
+        assert bundle.model_cfg.yaw_point_refine_classes == (0,)
+        assert bundle.model_cfg.yaw_point_refine_recenter
+        model_dir = tmp_path / "run"
+        train_mod.train(cfg_path, model_dir, max_steps=1, display_step=1)
+        result = train_mod.evaluate(cfg_path, model_dir)
+        assert "mAP.bev" in result
         assert np.isfinite(result["mAP.bev"])
 
     def test_no_resume_flag(self, micro_cfg_path, tmp_path):

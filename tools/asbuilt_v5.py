@@ -59,6 +59,11 @@ def make_config(data_root: pathlib.Path, steps: int,
     # center-distance suppression: the offline sweep on the v5
     # checkpoint (tools/door_rank_exp.py) picked radius 0.3 / power 1
     m.nms_center_suppress_radius = 0.3
+    # point-evidence pose refinement at eval (core.point_refine):
+    # offline on the v5 checkpoint door 3D AP 0.676 -> 0.926
+    del m.yaw_point_refine_classes[:]
+    m.yaw_point_refine_classes.extend(["wall", "door"])
+    m.yaw_point_refine_recenter = True
     for cs in m.target_assigner.class_settings:
         if cs.class_name == "door":
             cs.anchor_generator_range.matched_threshold = 0.62
