@@ -77,6 +77,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         grid_size=tuple(int(g) for g in grid_size),
         middle_name=mid.module_class_name or "PointPillarsScatter",
         sparse_use_pallas_gemm=model_cfg.use_pallas_sparse_gemm,
+        sparse_keymatch=model_cfg.use_keymatch_sparse_gemm,
         sparse_out_caps=(tuple(int(c) for c in mid.out_site_caps)
                          or None),
         sparse_dense_tail_blocks=int(mid.dense_tail_blocks),

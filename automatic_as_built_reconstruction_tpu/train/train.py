@@ -70,6 +70,13 @@ class Bundle:
         v_cap = (int(reader_cfg.preprocess.max_number_of_voxels)
                  or 12000)
         plan = voxelnet_mod.middle_plan(self.model_cfg, v_cap)
+        if (self.model_cfg.sparse_keymatch
+                and self.model_cfg.sparse_use_pallas_gemm):
+            # key-match mode joins keys inside the kernel — no host
+            # rulebooks at all.  Besides the host-prep cost, each
+            # dispatched rulebook batch is ~140 MB/step at honest FHD
+            # capacities, which the TPU relay leaks into host RSS.
+            plan = None
         out_caps = self.model_cfg.sparse_out_caps
         tail = self.model_cfg.sparse_dense_tail_blocks
         if plan is not None and tail > 0:

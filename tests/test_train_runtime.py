@@ -336,6 +336,31 @@ class TestSparsePallasTrainRuntime:
         result = train_mod.evaluate(pallas_cfg_path, model_dir)
         assert np.isfinite(result["mAP.bev"])
 
+    def test_train_eval_keymatch_no_host_rulebooks(self, pallas_cfg_path,
+                                                   tmp_path):
+        """use_keymatch_sparse_gemm trains WITHOUT host rulebooks: the
+        input pipeline must not build/dispatch rb* arrays (the per-step
+        rulebook batch is ~140 MB at honest FHD capacities, which the
+        TPU relay leaks into host RSS — the r4c rehearsal OOM)."""
+        cfg = pathlib.Path(pallas_cfg_path).read_text().replace(
+            "use_pallas_sparse_gemm: true",
+            "use_pallas_sparse_gemm: true\n"
+            "    use_keymatch_sparse_gemm: true", 1)
+        cfg_path = tmp_path / "micro_sparse_km.config"
+        cfg_path.write_text(cfg)
+        bundle = train_mod.Bundle(cfg_path)
+        assert bundle.model_cfg.sparse_keymatch
+        _, loader = bundle.input_reader(training=True)
+        batch = next(iter(loader))
+        assert not any(k.startswith("rb") for k in batch), \
+            f"host rulebooks built in keymatch mode: {sorted(batch)}"
+        model_dir = tmp_path / "sp_km"
+        state = train_mod.train(cfg_path, model_dir, max_steps=2,
+                                display_step=1)
+        assert int(state["step"]) == 2
+        result = train_mod.evaluate(cfg_path, model_dir)
+        assert np.isfinite(result["mAP.bev"])
+
 
 class TestBucketedSparse:
     """static_shape_buckets on the SECOND path: host rulebooks built at

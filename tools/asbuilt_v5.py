@@ -109,6 +109,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--quality_weight", type=float, default=1.0)
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the eval onto CPU — required while any "
+                         "other process holds the single-client TPU relay")
     args = ap.parse_args()
 
     data_root = pathlib.Path(args.data_root)
@@ -145,13 +148,15 @@ def main():
             upto += args.chunk
 
     print("=== evaluate ===", flush=True)
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
+    force_cpu = ("import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                 if args.cpu else "")
+    template = (
+        "import sys; sys.path.insert(0, %r)\n" + force_cpu +
         "from automatic_as_built_reconstruction_tpu.train import train as t\n"
         "r = t.evaluate(%r, %r)\n"
         "ks = sorted(k for k, v in r.items() if isinstance(v, float))\n"
-        "print('\\n'.join('%%s: %%.4f' %% (k, r[k]) for k in ks))\n"
-        % (str(REPO), str(cfg_path), str(model_dir)))
+        "print('\\n'.join('%%s: %%.4f' %% (k, r[k]) for k in ks))\n")
+    code = template % (str(REPO), str(cfg_path), str(model_dir))
     return subprocess.call([sys.executable, "-c", code])
 
 
