@@ -30,12 +30,19 @@ sys.path.insert(0, str(REPO))
 def make_config(data_root: str, steps: int, batch_size: int,
                 lr_max: float,
                 config_rel: str = "second/car/car.fhd.config",
-                out_caps: tuple = ()) -> str:
+                out_caps: tuple = (), keymatch: bool = False) -> str:
     from automatic_as_built_reconstruction_tpu import builder
 
     cfg = builder.load_config(
         REPO / "automatic_as_built_reconstruction_tpu" / "configs"
         / config_rel)
+    if keymatch:
+        # key-match training mode (DESIGN.md sec. 13): the Pallas kernel
+        # joins sparse-conv keys in VMEM, so the input pipeline ships no
+        # host rulebooks — removes the single-core host-prep bottleneck
+        # AND the ~140 MB/step rulebook dispatch the TPU relay leaks
+        # into host RSS (the r4c chunk OOM at step ~930).
+        cfg.model.second.use_keymatch_sparse_gemm = True
     if out_caps:
         # data-measured per-block active-site capacities (see
         # ops.sparse_conv.measure_site_caps): the strided SparseConvs
@@ -104,6 +111,9 @@ def main():
                          "the measured car.fhd values for the default "
                          "config, expansion-aware heuristic otherwise; "
                          "empty -> heuristic")
+    ap.add_argument("--keymatch", action="store_true",
+                    help="train with use_keymatch_sparse_gemm (no host "
+                         "rulebooks; see DESIGN.md sec. 13)")
     ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
@@ -123,7 +133,8 @@ def main():
         cfg_path.write_text(make_config(args.data_root, args.steps,
                                         args.batch_size, args.lr_max,
                                         config_rel=args.config,
-                                        out_caps=caps))
+                                        out_caps=caps,
+                                        keymatch=args.keymatch))
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:
