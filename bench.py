@@ -307,16 +307,11 @@ def _fhd_model(jax, jnp):
     return VoxelNet, vcfg, anchors
 
 
-def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
-    """SECOND/FHD sparse path, two deployments:
-
-    - DEVICE-ONLY serving (primary): one jit program per batch — device
-      voxelize (key-sorted) -> SimpleVoxel mean -> device LUT rulebooks
-      -> SpMiddleFHD (Pallas windowed gather-GEMM, window auto-tuned
-      from measured spans) -> RPN -> decode + rotated NMS.
-    - Host-pipelined training-style feed (extra): C++ fused
-      voxelize+mean + host rulebooks overlapped with the device forward.
-    """
+def _fhd_setup(jax, jnp, B: int | None = None):
+    """Shared FHD serving setup: builder-path model config with measured
+    site caps + autotuned (cached) Pallas/key-match windows, sample
+    scenes, and the device voxelizer.  Used by bench_second_fhd and
+    tools/fhd_perf_probe.py."""
     from automatic_as_built_reconstruction_tpu.models import (
         voxelnet as voxelnet_mod)
     from automatic_as_built_reconstruction_tpu.ops import voxelize_jax
@@ -324,7 +319,8 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         sparse_gather_gemm as sgg)
 
     VoxelNet, vcfg, anchors_np = _fhd_model(jax, jnp)
-    B = 1 if SMOKE else 2
+    if B is None:
+        B = 1 if SMOKE else 2
     VCAP, PPV = (2048, 5) if SMOKE else (16384, 5)
     n_pts = 4000 if SMOKE else NUM_POINTS
     vcfg = dataclasses.replace(
@@ -411,6 +407,36 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         vcfg, sparse_pallas_window=(tuple(int(w) for w in windows_pb)
                                     if windows_pb else window))
 
+    return dict(
+        VoxelNet=VoxelNet, vcfg=vcfg, anchors_np=anchors_np, base=base,
+        num_valid=num_valid, voxelize=voxelize, plan=plan,
+        site_caps=site_caps, B=B, n_pts=n_pts, window=window,
+        windows_pb=windows_pb, fallback_rate=fallback_rate,
+        km_window=km_window, km_windows=km_windows, km_miss=km_miss,
+        voxelnet_mod=voxelnet_mod, vox0=vox0)
+
+
+def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
+    """SECOND/FHD sparse path, two deployments:
+
+    - DEVICE-ONLY serving (primary): one jit program per batch — device
+      voxelize (key-sorted) -> SimpleVoxel mean -> device LUT rulebooks
+      -> SpMiddleFHD (Pallas windowed gather-GEMM, window auto-tuned
+      from measured spans) -> RPN -> decode + rotated NMS.
+    - Host-pipelined training-style feed (extra): C++ fused
+      voxelize+mean + host rulebooks overlapped with the device forward.
+    """
+    s = _fhd_setup(jax, jnp)
+    voxelnet_mod = s["voxelnet_mod"]
+    VoxelNet, vcfg, anchors_np = s["VoxelNet"], s["vcfg"], s["anchors_np"]
+    base, num_valid, voxelize = s["base"], s["num_valid"], s["voxelize"]
+    plan, B = s["plan"], s["B"]
+    window, windows_pb = s["window"], s["windows_pb"]
+    fallback_rate = s["fallback_rate"]
+    km_window, km_windows, km_miss = (s["km_window"], s["km_windows"],
+                                      s["km_miss"])
+    vox0 = s["vox0"]
+
     model = VoxelNet(cfg=vcfg)
     anchors = jnp.asarray(anchors_np)
     anchors_b = jnp.broadcast_to(anchors, (B,) + anchors.shape)
@@ -452,12 +478,17 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
                 + jnp.sum(det["scores"]))
 
     pts = jnp.asarray(base)
-    # --- key-match + dense tail: the last 2 blocks reach 4-22%
+    # --- key-match + dense tail: the LAST block reaches ~22%
     # active-site density, where a plain masked dense conv costs less
     # MXU work than the one-hot gather (tools/span_analysis.py;
     # models.middle.SparseMiddle.dense_tail_blocks) — same checkpoint,
-    # exact semantics minus capacity truncation
-    vcfg_dt = dataclasses.replace(vcfg_km, sparse_dense_tail_blocks=2)
+    # exact semantics minus capacity truncation.  Measured on v5e
+    # (tools/fhd_perf_probe.py, 2026-08-19): tails 0/1/2/3 = 17.63 /
+    # 18.82 / 11.79 / 3.55 scans/s — XLA's dense 3D convs run well
+    # below the cost model's assumed MXU efficiency, so only block 3
+    # (59 vs 214 GMACs) crosses over; dense_tail_blocks=1 is the
+    # serving configuration.
+    vcfg_dt = dataclasses.replace(vcfg_km, sparse_dense_tail_blocks=1)
     model_dt = VoxelNet(cfg=vcfg_dt)
 
     def stage_full_dt(i, pts0):

@@ -30,7 +30,8 @@ sys.path.insert(0, str(REPO))
 def make_config(data_root: str, steps: int, batch_size: int,
                 lr_max: float,
                 config_rel: str = "second/car/car.fhd.config",
-                out_caps: tuple = (), keymatch: bool = False) -> str:
+                out_caps: tuple = (), keymatch: bool = False,
+                dense_tail: int = 0) -> str:
     from automatic_as_built_reconstruction_tpu import builder
 
     cfg = builder.load_config(
@@ -43,6 +44,13 @@ def make_config(data_root: str, steps: int, batch_size: int,
         # AND the ~140 MB/step rulebook dispatch the TPU relay leaks
         # into host RSS (the r4c chunk OOM at step ~930).
         cfg.model.second.use_keymatch_sparse_gemm = True
+    if dense_tail:
+        # hybrid dense-tail (DESIGN.md sec. 16): run the last N middle
+        # blocks as masked dense convs — above ~4% active-site density
+        # the dense conv costs fewer MACs than the one-hot gather, and
+        # the shorter sparse prefix also shortens each train dispatch
+        cfg.model.second.middle_feature_extractor.dense_tail_blocks = \
+            dense_tail
     if out_caps:
         # data-measured per-block active-site capacities (see
         # ops.sparse_conv.measure_site_caps): the strided SparseConvs
@@ -114,6 +122,9 @@ def main():
     ap.add_argument("--keymatch", action="store_true",
                     help="train with use_keymatch_sparse_gemm (no host "
                          "rulebooks; see DESIGN.md sec. 13)")
+    ap.add_argument("--dense_tail", type=int, default=0,
+                    help="run the last N middle blocks as masked dense "
+                         "convs (DESIGN.md sec. 16)")
     ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
@@ -134,7 +145,8 @@ def main():
                                         args.batch_size, args.lr_max,
                                         config_rel=args.config,
                                         out_caps=caps,
-                                        keymatch=args.keymatch))
+                                        keymatch=args.keymatch,
+                                        dense_tail=args.dense_tail))
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:
