@@ -54,8 +54,34 @@ class PillarFeatureNet(nn.Module):
     dtype: type = jnp.float32
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, *, train: bool = False):
-        """voxels [B,V,T,C], num_points [B,V], coords [B,V,3] (z,y,x)."""
+    def __call__(self, voxels, num_points, coords, *, train: bool = False,
+                 flat_points=None, flat_slot=None,
+                 flat_slots_sorted: bool = False):
+        """voxels [B,V,T,C], num_points [B,V], coords [B,V,3] (z,y,x).
+
+        Flat mode (``flat_points`` [B,P,C] + ``flat_slot`` [B,P], from
+        ``ops.voxelize_jax.voxelize_flat``): identical math on the
+        point-major layout — decorate each point against its own
+        pillar's mean/center, run the same PFN Dense+BN+ReLU, then
+        ``segment_max`` into pillars.  Pillars average ~1-2 points, so
+        the padded [B,V,T,*] intermediates are >90% zeros and purely
+        HBM-bandwidth; flat mode reads/writes T/occupancy x less (the
+        padded pillar path measured ~2 ms of the flagship's 4.8 ms scan
+        budget).  Exactly equal to the padded path in eval mode: ReLU
+        makes padded zero-rows neutral under the max.  In train mode the
+        BatchNorm batch statistics average over [B*P] real points
+        instead of [B*V*T] mostly-padded slots — same parameters, same
+        checkpoints, slightly different (less zero-diluted) stats.
+        ``voxels`` may be None in flat mode; ``num_points``/``coords``
+        are still required.  Single-PFN-layer configs only (the lineage
+        standard) — the inter-layer max-concat needs the padded layout.
+        """
+        if flat_points is not None:
+            if len(self.num_filters) != 1:
+                raise NotImplementedError(
+                    "flat PFN mode supports a single PFN layer")
+            return self._flat(flat_points, flat_slot, num_points, coords,
+                              train=train, sorted_=flat_slots_sorted)
         B, V, T, C = voxels.shape
         mask = points_mask(num_points, T, voxels.dtype)
         denom = jnp.maximum(num_points[..., None, None], 1).astype(voxels.dtype)
@@ -87,6 +113,63 @@ class PillarFeatureNet(nn.Module):
             x = PFNLayer(units, last_layer=(i == n - 1),
                          dtype=self.dtype)(x, mask, train=train)
         return x  # [B, V, F]
+
+    def _flat(self, points, slot, num_points, coords, *, train, sorted_):
+        """points [B,P,C], slot [B,P] (V = invalid), -> [B, V, F]."""
+        import jax
+
+        B, P, C = points.shape
+        V = coords.shape[1]
+        dt = points.dtype
+        pvalid = slot < V
+
+        # per-pillar mean of the T-capped points, gathered back per point
+        def seg_sum(x, s):
+            return jax.ops.segment_sum(x, s, num_segments=V + 1,
+                                       indices_are_sorted=sorted_)
+
+        xyz = jnp.where(pvalid[..., None], points[..., :3], 0.0)
+        means = jax.vmap(seg_sum)(xyz, slot)[:, :V]            # [B,V,3]
+        means = means / jnp.maximum(num_points[..., None], 1).astype(dt)
+        slot_c = jnp.minimum(slot, V - 1)
+        f_cluster = points[..., :3] - jnp.take_along_axis(
+            means, slot_c[..., None], axis=1)
+
+        vx, vy = self.voxel_size
+        x0, y0 = self.pc_range
+        pcoords = jnp.take_along_axis(coords, slot_c[..., None], axis=1)
+        px = pcoords[..., 2].astype(dt) * vx + (vx / 2 + x0)
+        py = pcoords[..., 1].astype(dt) * vy + (vy / 2 + y0)
+        f_center = jnp.stack(
+            [points[..., 0] - px, points[..., 1] - py], axis=-1)
+
+        raw = points[..., : self.num_input_features]
+        if self.radius:
+            r_bev = jnp.linalg.norm(raw[..., :2], axis=-1, keepdims=True)
+            raw = jnp.concatenate([r_bev, raw[..., 2:]], axis=-1)
+        features = [raw, f_cluster, f_center]
+        if self.with_distance:
+            features.append(
+                jnp.linalg.norm(points[..., :3], axis=-1, keepdims=True))
+        mask = pvalid[..., None, None].astype(self.dtype)
+        x = (jnp.concatenate(features, axis=-1)
+             * pvalid[..., None].astype(dt)).astype(self.dtype)
+
+        # same PFNLayer module (same param names/shapes as the padded
+        # path): a [B, P, 1, F] layout makes its axis-2 max a no-op, so
+        # it returns the per-point post-activation [B, P, F]
+        x = PFNLayer(self.num_filters[0], last_layer=True,
+                     dtype=self.dtype)(x[:, :, None, :], mask, train=train)
+
+        def seg_max(xx, ss):
+            return jax.ops.segment_max(xx, ss, num_segments=V + 1,
+                                       indices_are_sorted=sorted_)
+
+        pooled = jax.vmap(seg_max)(x, slot)[:, :V]             # [B,V,F]
+        # empty segments give -inf; ReLU'd inputs make 0 the exact
+        # padded-path floor
+        return jnp.where(num_points[..., None] > 0,
+                         jnp.maximum(pooled, 0).astype(self.dtype), 0)
 
 
 class PointPillarsScatter(nn.Module):

@@ -213,10 +213,18 @@ class VoxelNet(nn.Module):
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, *, train: bool = False,
-                 middle_rulebooks=None, return_stages: bool = False):
+                 middle_rulebooks=None, return_stages: bool = False,
+                 flat_points=None, flat_slot=None,
+                 flat_slots_sorted: bool = False):
         """``middle_rulebooks``: optional host-precomputed sparse-conv
         rulebooks (see ``ops.rulebook_host``) — only meaningful for the
         sparse middle extractors.
+
+        ``flat_points``/``flat_slot`` (from
+        ``ops.voxelize_jax.voxelize_flat``): point-major pillar VFE path
+        — skips the >90%-padded [B,V,T,*] intermediates (see
+        ``PillarFeatureNet`` flat mode).  ``voxels`` may be None then.
+        Pillar encoders only.
 
         ``return_stages``: also return the per-stage intermediate tensors
         (for the reference-style ``--measure_time`` breakdown — timing a
@@ -240,7 +248,16 @@ class VoxelNet(nn.Module):
                           with_distance=cfg.with_distance)
         else:
             vfe = vfe_cls(num_input_features=cfg.num_input_features)
-        voxel_features = vfe(voxels, num_points, coords, train=train)
+        if flat_points is not None:
+            if vfe_cls is not PillarFeatureNet:
+                raise NotImplementedError(
+                    "flat point input is a pillar-encoder path")
+            voxel_features = vfe(None, num_points, coords, train=train,
+                                 flat_points=flat_points,
+                                 flat_slot=flat_slot,
+                                 flat_slots_sorted=flat_slots_sorted)
+        else:
+            voxel_features = vfe(voxels, num_points, coords, train=train)
 
         if cfg.middle_name == "PointPillarsScatter":
             middle = PointPillarsScatter(

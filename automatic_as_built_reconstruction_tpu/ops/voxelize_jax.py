@@ -29,6 +29,20 @@ class VoxelizationResult(NamedTuple):
     num_voxels: jax.Array    # [] int32 valid voxel count
 
 
+class FlatVoxelizationResult(NamedTuple):
+    """Flat (point-major) voxelization: the per-point view of the same
+    hard voxelization :func:`voxelize` produces, without materializing
+    the [V, T, C] padded grid.  A pillar holds ~1-2 points on average,
+    so the padded grid is >90% zeros — flat consumers (segment-op VFEs,
+    see ``PillarFeatureNet`` flat mode) read/write T/occupancy x less
+    HBM."""
+    points: jax.Array        # [P, C] points sorted by cell key
+    slot: jax.Array          # [P] int32 voxel slot; V = invalid/overflow
+    coords: jax.Array        # [V, 3] int32 (z, y, x); -1 padding
+    num_points: jax.Array    # [V] int32 points per voxel (<= T)
+    num_voxels: jax.Array    # [] int32 valid voxel count
+
+
 class DynamicVoxelizationResult(NamedTuple):
     features: jax.Array      # [V, C] per-voxel mean features
     coords: jax.Array        # [V, 3] int32 (z, y, x); -1 padding
@@ -168,6 +182,58 @@ def voxelize(points: jax.Array,
         pt_ok.astype(jnp.int32))
     return VoxelizationResult(voxels[:V], coords[:V], num_points[:V],
                               num_voxels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "pc_range", "grid_size", "max_points",
+                     "max_voxels", "first_appearance"))
+def voxelize_flat(points: jax.Array,
+                  num_valid: jax.Array,
+                  *,
+                  voxel_size: Sequence[float],
+                  pc_range: Sequence[float],
+                  grid_size: Sequence[int],
+                  max_points: int,
+                  max_voxels: int,
+                  first_appearance: bool = False) -> FlatVoxelizationResult:
+    """Hard voxelization, flat (point-major) output.
+
+    Same cell assignment, FCFS per-voxel point cap and voxel numbering
+    as :func:`voxelize` (``slot[p]`` is exactly the voxel row point p
+    occupies there; points beyond the T cap or outside the grid get
+    slot == max_voxels), but the per-point features stay a [P, C] array
+    instead of being padded into [V, T, C].  With the default key-order
+    numbering (``first_appearance=False``) ``slot`` is nondecreasing,
+    so segment reductions may pass ``indices_are_sorted=True``.
+    """
+    P, C = points.shape
+    gx, gy, gz = (int(g) for g in grid_size)
+    assert gx * gy * gz < _INT32_MAX, "grid too large for int32 keys"
+    c, in_range = _cell_coords(points, voxel_size, pc_range, grid_size)
+    valid = in_range & (jnp.arange(P) < num_valid)
+    key = (c[:, 1] * gx + c[:, 0]) * gz + c[:, 2]
+    V, T = max_voxels, max_points
+
+    order, svalid, first, seg_id, rank = _sorted_segments(key, valid)
+    slots = _voxel_slots(order, first, seg_id, svalid, first_appearance)
+
+    pts_sorted = points[order]
+    c_sorted = c[order]
+
+    head_ok = first & svalid & (slots < V)
+    num_voxels = jnp.sum(head_ok).astype(jnp.int32)
+    pt_ok = svalid & (slots < V) & (rank < T)
+    slot = jnp.where(pt_ok, slots, V).astype(jnp.int32)
+
+    coords = jnp.full((V + 1, 3), -1, jnp.int32)
+    coords = coords.at[jnp.where(head_ok, slots, V)].set(
+        jnp.where(head_ok[:, None], c_sorted[:, ::-1], -1))
+    num_points = jnp.zeros((V + 1,), jnp.int32)
+    num_points = num_points.at[jnp.where(pt_ok, slots, V)].add(
+        pt_ok.astype(jnp.int32))
+    return FlatVoxelizationResult(pts_sorted, slot, coords[:V],
+                                  num_points[:V], num_voxels)
 
 
 @functools.partial(

@@ -249,22 +249,57 @@ def bench_pillar(jax, jnp, emit=None) -> dict:
                         * det["valid"][..., None]).astype(jnp.float32)
                 + jnp.sum(det["scores"]))
 
+    # flat (point-major) pillar serving: same params/math, skips the
+    # >90%-padded [B, V, T, *] VFE intermediates (measured ~2 ms of the
+    # 4.8 ms padded scan budget is PFN+scatter HBM traffic)
+    voxelize_flat = jax.vmap(
+        lambda p, n: voxelize_jax.voxelize_flat(
+            p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+            grid_size=cfg.grid_size, max_points=MAX_PPV,
+            max_voxels=MAX_VOXELS, first_appearance=False))
+
+    def stage_full_flat(i, pts0):
+        r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
+        preds = model.apply(variables, None, r.num_points, r.coords,
+                            train=False, flat_points=r.points,
+                            flat_slot=r.slot, flat_slots_sorted=True)
+        det = voxelnet_mod.predict(preds, anchors_b, cfg)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
     pts = jnp.asarray(base)
     # full pipeline FIRST and emit immediately: the driver's capture
     # window is short, and this is the headline number — the per-stage
     # split and cost analysis are extras it can afford to miss
-    _progress("pillar: timing full pipeline (decode+NMS)")
-    dt_full = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+    _progress("pillar: timing full pipeline (flat VFE, decode+NMS)")
+    dt_flat = _loop_delta(jax, jnp, stage_full_flat, (pts,), 1, 3)
     if emit is not None:
-        emit(B / dt_full, {})
+        emit(B / dt_flat, {})
+    _progress("pillar: timing full pipeline (padded VFE)")
+    dt_pad = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+    dt_full = min(dt_flat, dt_pad)
+    if emit is not None:
+        emit(B / dt_full, {
+            "pillar_flat_scans_per_sec": round(B / dt_flat, 2),
+            "pillar_padded_scans_per_sec": round(B / dt_pad, 2)})
+    def stage_net_flat(i, pts0):
+        r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
+        out = model.apply(variables, None, r.num_points, r.coords,
+                          train=False, flat_points=r.points,
+                          flat_slot=r.slot, flat_slots_sorted=True)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+
+    best_net = stage_net_flat if dt_flat <= dt_pad else stage_net
+    best_full = stage_full_flat if dt_flat <= dt_pad else stage_full
     _progress("pillar: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
     _progress("pillar: timing network stage")
-    dt_net = _loop_delta(jax, jnp, stage_net, (pts,), 1, 3)
+    dt_net = _loop_delta(jax, jnp, best_net, (pts,), 1, 3)
 
     _progress("pillar: cost analysis")
     flops = _flops_of(
-        jax, lambda p: stage_full(jnp.float32(1.0), p), pts)
+        jax, lambda p: best_full(jnp.float32(1.0), p), pts)
     flops_per_scan = flops / B if flops else None
     mfu = (flops_per_scan / (dt_full / B) / V5E_BF16_PEAK_FLOPS
            if flops_per_scan else None)

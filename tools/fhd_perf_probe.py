@@ -80,6 +80,59 @@ def probe_fhd(jax, jnp, tails):
                    "error": repr(e)[:200]})
 
 
+def probe_tiles(jax, jnp, tile_configs, dense_tail=1):
+    """Sweep (pallas_tile, per-block keymatch windows) pairs for the
+    key-match serving pipeline.  The one-hot gather does L * W(TN) MXU
+    work per (join, Cin): W shrinks with the tile (a tile's query-key
+    span is roughly linear in TN plus a tap-offset constant), so smaller
+    tiles cut the dominant cost — tools/span_analysis.py predicts W(TN)
+    on host; this measures the end-to-end effect on TPU.
+
+    tile_configs: list of (tile, [w_block0, w_block1, ...])."""
+    import bench
+    from automatic_as_built_reconstruction_tpu.models import (
+        voxelnet as voxelnet_mod)
+
+    s = bench._fhd_setup(jax, jnp)
+    vcfg, B = s["vcfg"], s["B"]
+    anchors = jnp.asarray(s["anchors_np"])
+    anchors_b = jnp.broadcast_to(anchors, (B,) + anchors.shape)
+    vox0, voxelize, num_valid = s["vox0"], s["voxelize"], s["num_valid"]
+    pts = jnp.asarray(s["base"])
+
+    model0 = s["VoxelNet"](cfg=s["vcfg"])
+    variables = model0.init(jax.random.key(0), vox0.voxels[:1, :64],
+                            vox0.num_points[:1, :64], vox0.coords[:1, :64])
+
+    for tile, windows in tile_configs:
+        vcfg_t = dataclasses.replace(
+            vcfg, sparse_keymatch=True, sparse_pallas_tile=int(tile),
+            sparse_pallas_window=tuple(int(w) for w in windows),
+            sparse_dense_tail_blocks=dense_tail)
+        model = s["VoxelNet"](cfg=vcfg_t)
+
+        def stage_full(i, pts0, model=model, vcfg_t=vcfg_t):
+            r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
+            preds = model.apply(variables, r.voxels, r.num_points,
+                                r.coords, train=False)
+            det = voxelnet_mod.predict(preds, anchors_b, vcfg_t)
+            return (jnp.sum(det["box3d_lidar"]
+                            * det["valid"][..., None]).astype(jnp.float32)
+                    + jnp.sum(det["scores"]))
+
+        bench._progress(f"tile probe: tile={tile} windows={windows}")
+        try:
+            dt = bench._loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+            _emit({"probe": "tile", "tile": int(tile),
+                   "windows": [int(w) for w in windows],
+                   "dense_tail_blocks": dense_tail,
+                   "scans_per_sec": round(B / dt, 2),
+                   "ms_per_scan": round(dt / B * 1e3, 2)})
+        except Exception as e:
+            _emit({"probe": "tile", "tile": int(tile),
+                   "error": repr(e)[:200]})
+
+
 def probe_pillar(jax, jnp, batches):
     import bench
     from __graft_entry__ import _flagship_cfg
@@ -146,6 +199,9 @@ def main():
     ap.add_argument("--pillar", action="store_true")
     ap.add_argument("--tails", default="0,1,2,3")
     ap.add_argument("--batches", default="8,16,32")
+    ap.add_argument("--tile_configs", default="",
+                    help="semicolon-separated tile:w0,w1,w2,w3 entries, "
+                         "e.g. '128:256,384,512,512;64:128,256,384,384'")
     args = ap.parse_args()
 
     import jax
@@ -159,6 +215,12 @@ def main():
     if args.fhd:
         probe_fhd(jax, jnp,
                   [int(t) for t in args.tails.split(",") if t != ""])
+    if args.tile_configs:
+        cfgs = []
+        for entry in args.tile_configs.split(";"):
+            tile, ws = entry.split(":")
+            cfgs.append((int(tile), [int(w) for w in ws.split(",")]))
+        probe_tiles(jax, jnp, cfgs)
     if args.pillar:
         probe_pillar(jax, jnp,
                      [int(b) for b in args.batches.split(",") if b != ""])

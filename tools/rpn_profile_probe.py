@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Per-stage timing of the flagship pillar network on TPU.
+
+The pillar full pipeline sits at ~4.8 ms/scan (B=8): vox 0.66 / net 3.2
+/ decode+NMS 0.9.  The network's 71 GFLOP at 3.2 ms is ~22 TF/s — ~11%
+of v5e bf16 peak, far below what dense 3x3 convs should sustain.  This
+probe times the forward's sub-stages separately to find the sink:
+
+  pfn      : PillarFeatureNet + scatter to BEV canvas
+  backbone : the three ConvBlock stacks (stride 2/2/2)
+  upsample : the three ConvTranspose upsamples (1x/2x/4x)
+  heads    : 1x1 conv heads on the concatenated 768-ch map
+
+One JSON line per stage.  Run ONLY when no other TPU client is live.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    import bench
+    from automatic_as_built_reconstruction_tpu.models.rpn import (
+        ConvBlock, RPN, Upsample)
+
+    B = 8
+    H, W, C = 496, 432, 64
+    dt = jnp.bfloat16
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (B, H, W, C), dt)
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+
+    # --- full RPN (reference point)
+    rpn = RPN(dtype=dt)
+    vars_rpn = rpn.init(rng, x0, train=False)
+
+    def stage_rpn(i, x):
+        p = rpn.apply(vars_rpn, x + (i * 1e-3).astype(dt), train=False)
+        return sum(jnp.sum(v).astype(jnp.float32) for v in p.values())
+
+    bench._progress("rpn: full")
+    t = bench._loop_delta(jax, jnp, stage_rpn, (x0,), 2, 6)
+    emit({"probe": "rpn_full", "ms_per_batch": round(t * 1e3, 3),
+          "ms_per_scan": round(t / B * 1e3, 3)})
+
+    # --- backbone blocks only
+    blocks = [ConvBlock(f, n, 2, dtype=dt)
+              for n, f in zip((3, 5, 5), (128, 128, 256))]
+    bvars, xs = [], []
+    x = x0
+    for blk in blocks:
+        bvars.append(blk.init(rng, x, train=False))
+        xs.append(x)
+        x = blk.apply(bvars[-1], x, train=False)
+
+    def stage_backbone(i, x):
+        h = x + (i * 1e-3).astype(dt)
+        acc = jnp.float32(0)
+        for blk, v in zip(blocks, bvars):
+            h = blk.apply(v, h, train=False)
+            acc = acc + jnp.sum(h).astype(jnp.float32)
+        return acc
+
+    bench._progress("rpn: backbone")
+    t = bench._loop_delta(jax, jnp, stage_backbone, (x0,), 2, 6)
+    emit({"probe": "rpn_backbone", "ms_per_batch": round(t * 1e3, 3)})
+
+    # --- each upsample on its real input shape
+    shapes = [tuple(blk.apply(v, xi, train=False).shape)
+              for blk, v, xi in zip(blocks, bvars, xs)]
+    for i, (s, up_s) in enumerate(zip(shapes, (1, 2, 4))):
+        up = Upsample(256, up_s, dtype=dt)
+        xi = jax.random.normal(rng, s, dt)
+        uv = up.init(rng, xi, train=False)
+
+        def stage_up(j, x, up=up, uv=uv):
+            return jnp.sum(up.apply(
+                uv, x + (j * 1e-3).astype(dt),
+                train=False)).astype(jnp.float32)
+
+        bench._progress(f"rpn: upsample{i} stride={up_s} in={s}")
+        t = bench._loop_delta(jax, jnp, stage_up, (xi,), 2, 6)
+        emit({"probe": f"rpn_upsample{i}", "stride": up_s,
+              "in_shape": list(s), "ms_per_batch": round(t * 1e3, 3)})
+
+    # --- heads on the concatenated map
+    import flax.linen as nn
+
+    xcat = jax.random.normal(rng, (B, H // 2, W // 2, 768), dt)
+    head = nn.Conv(2 * 7 + 2 * 1 + 2 * 2, (1, 1), dtype=dt)
+    hv = head.init(rng, xcat)
+
+    def stage_heads(i, x):
+        return jnp.sum(head.apply(
+            hv, x + (i * 1e-3).astype(dt))).astype(jnp.float32)
+
+    bench._progress("rpn: heads")
+    t = bench._loop_delta(jax, jnp, stage_heads, (xcat,), 2, 6)
+    emit({"probe": "rpn_heads", "ms_per_batch": round(t * 1e3, 3)})
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,7 @@ def main():
 
     peak_macs = bench.V5E_BF16_PEAK_FLOPS / 2
 
-    for tile in (256, 128):
+    for tile in (256, 128, 64):
         print(f"\n=== tile {tile} ===")
         coords = vox.coords
         valid = coords[..., 0] >= 0
