@@ -162,8 +162,18 @@ class SparseMiddle(nn.Module):
     pallas_tile: int = 256
     # one global window, or a per-BLOCK tuple (len == number of blocks):
     # the one-hot gather does tile*window*Cin work per tap, so blocks
-    # with tight key spans should not pay the worst block's window
-    pallas_window: int | Tuple[int, ...] = 768
+    # with tight key spans should not pay the worst block's window.
+    # A per-block entry may itself be a (subm, strided) PAIR giving the
+    # strided join its own window — measured strided spans are ~3-5x
+    # tighter than the xy-area-scaled default (tools/span_analysis.py)
+    pallas_window: int | Tuple = 768
+    # per-tap SUBWINDOW for the key-match kernel (0 = off): each tap
+    # compares/gathers only this many rows of the shared per-tile DMA
+    # window (sgg.keymatch_gemm subwindow arg) — single-tap spans are
+    # ~1.5-3x tighter than the K-tap union.  Same structure as
+    # pallas_window: int, per-block tuple, or (subm, strided) pairs;
+    # size with sgg.choose_keymatch_subwindow
+    keymatch_subwindow: int | Tuple = 0
     # key-match serving mode: skip building rulebooks entirely — the
     # Pallas kernel joins sorted input keys against per-tap query keys
     # with an in-VMEM equality compare (sgg.keymatch_gemm).  The only
@@ -240,9 +250,22 @@ class SparseMiddle(nn.Module):
                 self.sow("intermediates", f"b{bi}_capacity_saturated",
                          jnp.zeros((), jnp.int32))   # dense: no caps
                 continue
-            win_b = (int(self.pallas_window[bi])
-                     if isinstance(self.pallas_window, (tuple, list))
-                     else int(self.pallas_window))
+            # a tile of STRIDED output sites covers stride_y*stride_x
+            # times the xy area in input space, so the strided join's
+            # default window scales with the xy downsampling factor;
+            # explicit (subm, strided) pairs override that with the
+            # (much tighter) measured strided spans
+            xy_area = int(blk.stride[1] * blk.stride[2])
+
+            def _per_join(val, mult=xy_area):
+                v = (val[bi] if isinstance(val, (tuple, list))
+                     else val)
+                if isinstance(v, (tuple, list)):
+                    return int(v[0]), int(v[1])
+                return int(v), int(v) * mult
+
+            win_b, win_str = _per_join(self.pallas_window)
+            sub_b, sub_str = _per_join(self.keymatch_subwindow)
             # submanifold stack (shared rulebook per block)
             rb = layout = sites = None
             qk_subm = qk_str = in_keys = None
@@ -298,7 +321,7 @@ class SparseMiddle(nn.Module):
                     feats = jax.lax.map(
                         lambda a: sgg.keymatch_gemm(
                             a[0], a[1], a[2], wd, None,
-                            self.pallas_tile, win_b),
+                            self.pallas_tile, win_b, True, sub_b),
                         (feats, in_keys, qk_subm))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
@@ -327,16 +350,10 @@ class SparseMiddle(nn.Module):
             w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
             if use_km:
                 wd = w.astype(self.dtype)
-                # a tile of output sites covers stride_y*stride_x times
-                # the xy area in INPUT space, so the strided join's
-                # window must scale with the xy downsampling factor or
-                # every xy-strided block would route to the XLA fallback
-                win_str = win_b * int(blk.stride[1]
-                                                   * blk.stride[2])
                 feats = jax.lax.map(
                     lambda a: sgg.keymatch_gemm(
                         a[0], a[1], a[2], wd, None,
-                        self.pallas_tile, win_str),
+                        self.pallas_tile, win_str, True, sub_str),
                     (feats, in_keys, qk_str))
                 out_valid, out_coords = sites.out_valid, sites.out_coords
                 num_out = sites.num_out

@@ -175,6 +175,13 @@ class VoxelNetConfig:
                                           # global worst-case window
     sparse_keymatch: bool = False         # join keys INSIDE the kernel
                                           # (serving: no rulebook build)
+    sparse_keymatch_subwindow: Union[int, Tuple] = 0
+                                          # per-tap subwindow of the
+                                          # shared DMA window (0 = off;
+                                          # sgg.choose_keymatch_subwindow)
+                                          # — same structure as
+                                          # sparse_pallas_window, incl.
+                                          # (subm, strided) pairs
     sparse_capacity_shrink: Optional[float] = None
                                           # middle active-site capacity
                                           # multiplier per strided conv;
@@ -277,6 +284,8 @@ class VoxelNet(nn.Module):
                 kwargs["pallas_tile"] = cfg.sparse_pallas_tile
                 kwargs["pallas_window"] = cfg.sparse_pallas_window
                 kwargs["use_keymatch"] = cfg.sparse_keymatch
+                kwargs["keymatch_subwindow"] = \
+                    cfg.sparse_keymatch_subwindow
                 kwargs["blocks"] = cfg.middle_blocks
                 kwargs["capacity_shrink"] = cfg.sparse_capacity_shrink
                 kwargs["out_caps"] = cfg.sparse_out_caps

@@ -615,6 +615,134 @@ def _pallas_keymatch_gemm_shared(featsT, keys, qk, win_start, weights, *,
     )(win_start, qk, keys.reshape(1, L), featsT, weights)
 
 
+def _keymatch_kernel_subwin(win_ref, off_ref, qk_ref, keysT_hbm,
+                            featsT_hbm, w_ref, out_ref, fscratch,
+                            kscratch, sems, ksems, *, K: int, TN: int,
+                            W: int, WS: int, n_tiles: int):
+    """Per-tap SUBWINDOW variant of :func:`_keymatch_kernel_shared`.
+
+    One per-tile union-window DMA (width ``W``) serves all K taps, but
+    each tap compares + gathers only a ``WS``-wide slice of it at a
+    prefetched per-(tap, tile) offset: a single tap's matched rows span
+    ~1.5-3x less than the K-tap union (tools/span_analysis.py), and the
+    one-hot compare (VPU) and gather matmul (MXU) both scale with the
+    compare width, so the dominant kernel cost drops by that ratio at
+    ZERO extra HBM traffic.
+
+    No validity mask pass: the wrapper zeroes feature rows whose key is
+    the INT32_MAX sentinel, so sentinel queries can only ever match
+    zero-feature rows and contribute nothing.
+    """
+    t = pl.program_id(0)
+
+    def get_dma(slot, tt):
+        ws = pl.multiple_of(win_ref[tt], 128)
+        return (pltpu.make_async_copy(
+                    featsT_hbm.at[:, pl.ds(ws, W)],
+                    fscratch.at[slot], sems.at[slot]),
+                pltpu.make_async_copy(
+                    keysT_hbm.at[:, pl.ds(ws, W)],
+                    kscratch.at[slot], ksems.at[slot]))
+
+    @pl.when(t == 0)
+    def _start_first():
+        for d in get_dma(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _start_next():
+        for d in get_dma((t + 1) % 2, t + 1):
+            d.start()
+
+    for d in get_dma(t % 2, t):
+        d.wait()
+
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):                       # static unroll over taps
+        o = pl.multiple_of(off_ref[k * n_tiles + t], 128)
+        sub_keys = kscratch[t % 2, 0, pl.ds(o, WS)]         # [WS]
+        qcol = qk_ref[k, sl][:, None]                       # [TN, 1] i32
+        onehot = (sub_keys[None, :] == qcol)
+        gathered = jax.lax.dot_general(
+            onehot.astype(fscratch.dtype),
+            fscratch[t % 2, :, pl.ds(o, WS)],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(
+            gathered.astype(w_ref.dtype), w_ref[k],
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _pallas_keymatch_gemm_subwin(featsT, keys, qk, win_start, tap_off,
+                                 weights, *, TN: int, W: int, WS: int,
+                                 interpret: bool):
+    Cin, L = featsT.shape
+    K = weights.shape[0]
+    Cout = weights.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # qk
+            pl.BlockSpec(memory_space=pl.ANY),                   # keysT HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws, off: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.VMEM((2, 1, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_keymatch_kernel_subwin, K=K, TN=TN, W=W,
+                          WS=WS, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, tap_off, qk, keys.reshape(1, L), featsT, weights)
+
+
+def _keymatch_subwin_decision(keys, qk, L: int, TN: int, W: int,
+                              WS: int):
+    """Union window starts [nt] + per-(tap, tile) subwindow offsets
+    [K, nt] (row offsets INTO the union window, 128-aligned) + routing
+    test: the union window must cover every tap's matched rows AND each
+    tap's matched rows must fit its WS-wide subwindow."""
+    K = qk.shape[0]
+    n_tiles = L // TN
+    qk_t = qk.reshape(K, n_tiles, TN)
+    validq = qk_t != _INT32_MAX
+    big = jnp.int32(_INT32_MAX)
+    lo = jnp.min(jnp.where(validq, qk_t, big), axis=-1)         # [K, nt]
+    hi = jnp.max(jnp.where(validq, qk_t, -1), axis=-1)
+    start_row = jnp.searchsorted(keys, lo).astype(jnp.int32)
+    end_row = jnp.searchsorted(keys, hi, side="right").astype(jnp.int32)
+    lo_u, hi_u = lo.min(0), hi.max(0)                           # [nt]
+    su = jnp.searchsorted(keys, lo_u).astype(jnp.int32)
+    eu = jnp.searchsorted(keys, hi_u, side="right").astype(jnp.int32)
+    win_start = (jnp.clip(jnp.where(lo_u == big, 0, su), 0,
+                          max(L - W, 0)) // 128 * 128)
+    fits_u = jnp.where(hi_u < 0, True, eu - 1 - win_start < W)
+    # per-tap offset: subwindow starts at/below the tap's first matched
+    # row; win_start <= su//128*128 <= start_row except when clipped to
+    # L-W, where the union fit already bounds everything
+    off = jnp.clip((start_row - win_start[None, :]) // 128 * 128,
+                   0, max(W - WS, 0))
+    fits_k = jnp.where(hi < 0, True,
+                       end_row - 1 - (win_start[None, :] + off) < WS)
+    sorted_unique = jnp.all((keys[1:] > keys[:-1])
+                            | (keys[1:] == big))
+    fits = jnp.all(fits_u) & jnp.all(fits_k) & sorted_unique
+    return win_start, off, fits
+
+
 def _keymatch_shared_window_decision(keys, qk, L: int, TN: int, W: int):
     """Per-TILE window starts + routing test for the shared-window
     key-match kernel: the window must cover the union of all K taps'
@@ -661,9 +789,10 @@ def _keymatch_window_decision(keys, qk, L: int, TN: int, W: int):
 
 def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
                   tile: int = 256, window: int = 768,
-                  shared: bool = True) -> jax.Array:
+                  shared: bool = True, subwindow: int = 0) -> jax.Array:
     """Telemetry twin of the key-match routing decision (cf.
-    :func:`pallas_fits`).  ``shared`` must match the kernel mode."""
+    :func:`pallas_fits`).  ``shared``/``subwindow`` must match the
+    kernel mode."""
     N = in_keys.shape[0]
     K, M = q_keys.shape
     TN = int(tile)
@@ -673,10 +802,58 @@ def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
     keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
     qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
                  constant_values=_INT32_MAX)
+    if subwindow:
+        _, _, fits = _keymatch_subwin_decision(keys, qk, L, TN,
+                                               int(window),
+                                               int(subwindow))
+        return fits
     decide = (_keymatch_shared_window_decision if shared
               else _keymatch_window_decision)
     _, fits = decide(keys, qk, L, TN, int(window))
     return fits
+
+
+def keymatch_tap_spans(in_keys: np.ndarray, q_keys: np.ndarray,
+                       tile: int = 256) -> np.ndarray:
+    """Host-side per-(tap, tile) row spans for the SUBWINDOW key-match
+    kernel: for each tap and output tile, how many table rows (from the
+    128-aligned subwindow start) that single tap's matched range
+    covers.  The smallest viable subwindow is
+    ``ceil(max(spans)/128)*128``; size ``choose_keymatch_subwindow``
+    from these over sampled scans.  Empty (tap, tile)s report 0."""
+    big = np.iinfo(np.int32).max
+    keys = np.asarray(in_keys, np.int64)
+    qk = np.asarray(q_keys, np.int64)
+    N = keys.shape[0]
+    K, M = qk.shape
+    TN = int(tile)
+    L = -(-max(N, M) // TN) * TN
+    keys_p = np.full(L, big, np.int64)
+    keys_p[:N] = keys
+    qk_p = np.full((K, L), big, np.int64)
+    qk_p[:, :M] = qk
+    qk_t = qk_p.reshape(K, -1, TN)
+    validq = qk_t != big
+    lo = np.where(validq, qk_t, np.iinfo(np.int64).max).min(2)  # [K, nt]
+    hi = np.where(validq, qk_t, -1).max(2)
+    start = np.searchsorted(keys_p, lo) // 128 * 128
+    end = np.searchsorted(keys_p, hi, side="right")
+    return np.where(hi >= 0, end - start, 0).reshape(-1)
+
+
+def choose_keymatch_subwindow(samples, tile: int = 256,
+                              max_window: int = 4096) -> int:
+    """Smallest 128-multiple subwindow covering every sampled
+    per-(tap, tile) span (:func:`keymatch_tap_spans`), bounded by
+    ``max_window``.  ``samples``: iterable of (in_keys, q_keys) host
+    arrays from real scans."""
+    need = 128
+    for in_keys, qk in samples:
+        spans = keymatch_tap_spans(np.asarray(in_keys), np.asarray(qk),
+                                   tile)
+        if spans.size:
+            need = max(need, int(-(-int(spans.max()) // 128) * 128))
+    return int(min(need, max_window))
 
 
 def keymatch_window_spans(in_keys: np.ndarray, q_keys: np.ndarray,
@@ -727,11 +904,12 @@ def choose_keymatch_window(samples, tile: int = 256,
     return int(min(max(need, 128), max_window, max(vmem_cap, 128)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
                   q_keys: jax.Array, weights: jax.Array,
                   interpret: bool | None = None, tile: int = 256,
-                  window: int = 768, shared: bool = True) -> jax.Array:
+                  window: int = 768, shared: bool = True,
+                  subwindow: int = 0) -> jax.Array:
     """features [N, Cin] x sorted keys [N] x query keys [K, M] x weights
     [K, Cin, Cout] -> [M, Cout] float32.
 
@@ -746,17 +924,24 @@ def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
     ``shared=True`` (default): one per-tile window DMA serves all K
     taps (~K-fold less HBM traffic; window must cover the tile's
     cross-tap union span).  ``shared=False``: per-(tap, tile) windows.
+
+    ``subwindow=WS > 0`` (implies shared DMA): each tap compares and
+    gathers only a WS-wide slice of the per-tile union window at a
+    per-(tap, tile) offset — a single tap's matched rows span ~1.5-3x
+    less than the K-tap union, and the one-hot compare (VPU) + gather
+    matmul (MXU) both scale with the compare width.  Size WS with
+    :func:`choose_keymatch_subwindow`.
     """
     return _keymatch_impl(features, in_keys, q_keys, weights,
                           interpret=interpret, tile=tile, window=window,
-                          shared=shared)
+                          shared=shared, subwindow=subwindow)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "window",
-                                    "shared"))
+                                    "shared", "subwindow"))
 def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
-                   tile=256, window=768, shared=True):
+                   tile=256, window=768, shared=True, subwindow=0):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 
@@ -765,16 +950,20 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
     N, Cin = features.shape
     K, M = q_keys.shape
     Cout = weights.shape[-1]
-    TN, W = int(tile), int(window)
+    TN, W, WS = int(tile), int(window), int(subwindow)
 
     L = -(-max(N, M) // TN) * TN
     feats = jnp.pad(features, ((0, L - N), (0, 0)))
     keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
     qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
                  constant_values=_INT32_MAX)
+    # zero the features of sentinel-key rows (invalid/padded voxels):
+    # sentinel queries can then only ever match zero rows, so the
+    # kernels need no per-tap validity mask pass
+    feats = jnp.where((keys == _INT32_MAX)[:, None], 0, feats)
 
     def xla_path(args):
-        f, ky, q, _, w = args
+        f, ky, q, w = args[0], args[1], args[2], args[-1]
         idx, hit = _merge_lookup(ky, q.reshape(-1))
         g = jnp.where(hit.reshape(K, L)[:, :, None],
                       f[idx.reshape(K, L)], 0)
@@ -783,8 +972,23 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
                        preferred_element_type=jnp.float32)
 
     w_cast = weights.astype(features.dtype)
-    if W > L:   # table smaller than one window: nothing to tile
-        return xla_path((feats, keys, qk, None, w_cast))[:M]
+    if W > L or (WS and WS > W):  # table smaller than one window
+        return xla_path((feats, keys, qk, w_cast))[:M]
+
+    if WS:
+        win_start, tap_off, fits = _keymatch_subwin_decision(
+            keys, qk, L, TN, W, WS)
+
+        def pallas_path(args):
+            f, ky, q, wf, off, w = args
+            return _pallas_keymatch_gemm_subwin(
+                f.T, ky, q, wf, off, w, TN=TN, W=W, WS=WS,
+                interpret=interpret)
+
+        out = lax.cond(fits, pallas_path, lambda a: xla_path(a),
+                       (feats, keys, qk, win_start.reshape(-1),
+                        tap_off.reshape(-1), w_cast))
+        return out[:M]
 
     decide = (_keymatch_shared_window_decision if shared
               else _keymatch_window_decision)
@@ -803,14 +1007,14 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
 
 
 def _keymatch_fwd(features, in_keys, q_keys, weights, interpret, tile,
-                  window, shared):
+                  window, shared, subwindow):
     out = _keymatch_impl(features, in_keys, q_keys, weights,
                          interpret=interpret, tile=tile, window=window,
-                         shared=shared)
+                         shared=shared, subwindow=subwindow)
     return out, (features, in_keys, q_keys, weights)
 
 
-def _keymatch_bwd(interpret, tile, window, shared, res, dout):
+def _keymatch_bwd(interpret, tile, window, shared, subwindow, res, dout):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 

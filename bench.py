@@ -405,8 +405,24 @@ def _fhd_setup(jax, jnp, B: int | None = None):
         # instead of the global worst case
         windows_pb = cached.get("pallas_windows")
         km_windows = cached.get("keymatch_windows")
+        km_win_pairs = cached.get("keymatch_win_pairs")
+        km_sub_pairs = cached.get("keymatch_sub_pairs")
+        if km_win_pairs is None:
+            # older cache: the per-JOIN pair/subwindow tune is cheap
+            # (host spans over one scan's keys; no telemetry rulebooks)
+            # — compute it now and persist alongside the legacy fields
+            km_win_pairs, km_sub_pairs = _keymatch_autotune(
+                jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile)
+            km_miss = _keymatch_miss_rate(
+                jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile,
+                km_win_pairs, km_sub_pairs)
+            cached = dict(cached)
+            cached.update({"keymatch_win_pairs": km_win_pairs,
+                           "keymatch_sub_pairs": km_sub_pairs,
+                           "keymatch_fallback_rate": round(km_miss, 3)})
+            _cache_store(cache_params, cached)
         _progress(f"fhd: autotune cache hit (window={window}, "
-                  f"km_window={km_window}, per_block={km_windows})")
+                  f"km pairs={km_win_pairs}, sub={km_sub_pairs})")
     else:
         _progress("fhd: building telemetry rulebooks on device "
                   "(uncached: ~17 min)")
@@ -426,17 +442,21 @@ def _fhd_setup(jax, jnp, B: int | None = None):
                                  window=window))
             for gi, fo, n in books)
         fallback_rate = 1.0 - n_fit / max(len(books), 1)
-        km_windows = _keymatch_autotune(jax, jnp, vox0.coords[0], plan,
-                                        vcfg.sparse_pallas_tile)
+        km_win_pairs, km_sub_pairs = _keymatch_autotune(
+            jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile)
+        km_windows = [max(p) for p in km_win_pairs]
         km_window = max(km_windows)
         km_miss = _keymatch_miss_rate(jax, jnp, vox0.coords[0], plan,
-                                      vcfg.sparse_pallas_tile, km_windows)
+                                      vcfg.sparse_pallas_tile,
+                                      km_win_pairs, km_sub_pairs)
         _cache_store(cache_params, {
             "pallas_window": window,
             "pallas_windows": windows_pb,
             "pallas_fallback_rate": round(fallback_rate, 3),
             "keymatch_window": km_window,
             "keymatch_windows": km_windows,
+            "keymatch_win_pairs": km_win_pairs,
+            "keymatch_sub_pairs": km_sub_pairs,
             "keymatch_fallback_rate": round(km_miss, 3)})
     vcfg = dataclasses.replace(
         vcfg, sparse_pallas_window=(tuple(int(w) for w in windows_pb)
@@ -448,6 +468,7 @@ def _fhd_setup(jax, jnp, B: int | None = None):
         site_caps=site_caps, B=B, n_pts=n_pts, window=window,
         windows_pb=windows_pb, fallback_rate=fallback_rate,
         km_window=km_window, km_windows=km_windows, km_miss=km_miss,
+        km_win_pairs=km_win_pairs, km_sub_pairs=km_sub_pairs,
         voxelnet_mod=voxelnet_mod, vox0=vox0)
 
 
@@ -497,10 +518,19 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     # strided blocks' output-site sort.  Its (shared) window is sized
     # from this scan's measured per-tile union spans, independently of
     # the rulebook-mode window (cached above).
+    km_win_pairs = s["km_win_pairs"]
+    km_sub_pairs = s["km_sub_pairs"]
+    if km_win_pairs:
+        km_win_cfg = tuple(tuple(int(w) for w in p) for p in km_win_pairs)
+        km_sub_cfg = tuple(tuple(int(w) for w in p) for p in km_sub_pairs)
+    else:
+        km_win_cfg = (tuple(int(w) for w in km_windows)
+                      if km_windows else km_window)
+        km_sub_cfg = 0
     vcfg_km = dataclasses.replace(
         vcfg, sparse_keymatch=True,
-        sparse_pallas_window=(tuple(int(w) for w in km_windows)
-                              if km_windows else km_window))
+        sparse_pallas_window=km_win_cfg,
+        sparse_keymatch_subwindow=km_sub_cfg)
     model_km = VoxelNet(cfg=vcfg_km)
 
     def stage_full_km(i, pts0):
@@ -582,6 +612,8 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "pallas_fallback_rate": round(fallback_rate, 3),
         "keymatch_window": km_window,
         "keymatch_windows_per_block": km_windows,
+        "keymatch_win_pairs": km_win_pairs,
+        "keymatch_sub_pairs": km_sub_pairs,
         "keymatch_fallback_rate": round(km_miss, 3),
     }
     # host pipeline runs as a separate closure so main() can emit the
@@ -627,83 +659,98 @@ def _device_rulebooks(jax, jnp, coords0, plan):
 
 
 def _keymatch_autotune(jax, jnp, coords0, plan, tile):
-    """Per-BLOCK base key-match windows from this scan's measured
-    per-tile UNION spans (shared-window kernel): each block's base must
-    cover its subm joins directly and its strided join after the
-    xy-stride-area scaling SparseMiddle applies.  Returns a list (one
-    window per block) — the global worst case is its max."""
+    """Per-JOIN key-match windows + per-tap subwindows from this scan's
+    measured spans.  Returns (win_pairs, sub_pairs): per block a
+    [subm, strided] pair of union DMA windows and of per-tap compare
+    subwindows (SparseMiddle.pallas_window / .keymatch_subwindow
+    structure).  Measured strided spans are ~3-5x tighter than the
+    legacy xy-area-scaled default, and single-tap spans ~1.5-3x tighter
+    than the K-tap union — the one-hot compare + gather both scale with
+    the compare width (tools/span_analysis.py)."""
     from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
     from automatic_as_built_reconstruction_tpu.ops.pallas import (
         sparse_gather_gemm as sgg)
 
     vmem_cap = (8 << 20) // (2 * 64 * 2) // 128 * 128
-    needs = []
+    bound = int(min(4096, max(vmem_cap, 128)))
+
+    def tune(in_keys, qk):
+        spans = sgg.keymatch_window_spans(in_keys, qk, tile)
+        w = (-(-int(spans.max()) // 128) * 128) if spans.size else 128
+        tspans = sgg.keymatch_tap_spans(in_keys, qk, tile)
+        s = (-(-int(tspans.max()) // 128) * 128) if tspans.size else 128
+        return min(max(w, 128), bound), min(max(s, 128), bound)
+
+    win_pairs, sub_pairs = [], []
     coords = coords0
     valid = coords[..., 0] >= 0
     for blk in plan:
-        need = 128
         in_keys = np.asarray(
             jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords))
+        subm_w = subm_s = 128
         if blk.n_subm > 0:
             qk = np.asarray(jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
                 c, v, b.grid, b.subm_kernel))(coords, valid))
-            spans = sgg.keymatch_window_spans(in_keys, qk, tile)
-            if spans.size:
-                need = max(need, -(-int(spans.max()) // 128) * 128)
+            subm_w, subm_s = tune(in_keys, qk)
         sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
             c, v, b.grid, b.kernel, b.stride, b.pad,
             b.out_cap))(coords, valid)
         qk = np.asarray(jax.jit(lambda s, b=blk: sc.strided_tap_keys(
             s, b.grid, b.kernel, b.stride, b.pad))(sites))
-        spans = sgg.keymatch_window_spans(in_keys, qk, tile)
-        if spans.size:
-            area = int(blk.stride[1] * blk.stride[2])
-            base = -(-(-(-int(spans.max()) // area)) // 128) * 128
-            need = max(need, base)
+        str_w, str_s = tune(in_keys, qk)
+        win_pairs.append([subm_w, str_w])
+        sub_pairs.append([subm_s, str_s])
         coords, valid = sites.out_coords, sites.out_valid
-        needs.append(int(min(max(need, 128), 4096, max(vmem_cap, 128))))
-    return needs
+    return win_pairs, sub_pairs
 
 
-def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window):
+def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window,
+                        subwindow=0):
     """Fraction of the middle stack's key-match joins (one per subm
     stack + one per strided conv) that would route to the XLA fallback
-    instead of the Pallas key-match kernel on this scan.  ``window``:
-    one int or a per-block list (mirror of SparseMiddle.pallas_window)."""
+    instead of the Pallas key-match kernel on this scan.  ``window`` /
+    ``subwindow``: one int, a per-block list, or per-block
+    [subm, strided] pairs (mirror of SparseMiddle.pallas_window /
+    .keymatch_subwindow)."""
     from automatic_as_built_reconstruction_tpu.ops import sparse_conv as sc
     from automatic_as_built_reconstruction_tpu.ops.pallas import (
         sparse_gather_gemm as sgg)
+
+    def per_join(val, bi, mult):
+        v = val[bi] if isinstance(val, (list, tuple)) else val
+        if isinstance(v, (list, tuple)):
+            return int(v[0]), int(v[1])
+        return int(v), int(v) * mult
 
     fits, total = 0, 0
     coords = coords0
     valid = coords[..., 0] >= 0
     for bi, blk in enumerate(plan):
-        win = (int(window[bi]) if isinstance(window, (list, tuple))
-               else int(window))
+        area = int(blk.stride[1] * blk.stride[2])
+        win, win_str = per_join(window, bi, area)
+        sub, sub_str = per_join(subwindow, bi, area)
 
-        def tiled(join_rows):
+        def tiled(join_rows, w):
             # joins whose padded table is smaller than one DMA window
             # take the cheap small-table XLA path BY DESIGN
             # (keymatch_fits's shortcut) — they are not kernel misses
-            return win <= -(-join_rows // tile) * tile
+            return w <= -(-join_rows // tile) * tile
 
         in_keys = jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords)
-        if blk.n_subm > 0 and tiled(coords.shape[0]):
+        if blk.n_subm > 0 and tiled(coords.shape[0], win):
             qk = jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
                 c, v, b.grid, b.subm_kernel))(coords, valid)
-            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win))
+            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win,
+                                          subwindow=sub))
             total += 1
         sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
             c, v, b.grid, b.kernel, b.stride, b.pad,
             b.out_cap))(coords, valid)
-        # strided joins scale the window by the xy stride area — mirror
-        # of SparseMiddle's keymatch dispatch
-        win_str = win * int(blk.stride[1] * blk.stride[2])
-        if win_str <= -(-max(coords.shape[0], blk.out_cap)
-                        // tile) * tile:
+        if tiled(max(coords.shape[0], blk.out_cap), win_str):
             qk = jax.jit(lambda s, b=blk: sc.strided_tap_keys(
                 s, b.grid, b.kernel, b.stride, b.pad))(sites)
-            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win_str))
+            fits += int(sgg.keymatch_fits(in_keys, qk, tile, win_str,
+                                          subwindow=sub_str))
             total += 1
         coords, valid = sites.out_coords, sites.out_valid
     return 1.0 - fits / max(total, 1)

@@ -101,6 +101,126 @@ class TestKeymatchGemm:
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("subwindow", [80, 32])
+    def test_subwindow_matches_submanifold_conv(self, subwindow):
+        """subwindow == window -> degenerate (offsets all 0, same rows
+        as the shared kernel); subwindow=32 -> some taps over-span ->
+        exact XLA fallback.  Both must match the rulebook path."""
+        rng = np.random.default_rng(6)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80, True,
+                                subwindow)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_subwindow_nonzero_offsets(self):
+        """A table big enough that per-tap subwindow offsets are real
+        multiples of 128 (the offset alignment unit), with the Pallas
+        path actually selected."""
+        rng = np.random.default_rng(7)
+        D, H, W = 8, 40, 40
+        n = 600
+        lin = rng.choice(D * H * W, n, replace=False)
+        zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+        key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+        zyx = zyx[np.argsort(key)]
+        coords = jnp.asarray(np.concatenate(
+            [zyx, np.full((40, 3), -1)]).astype(np.int32))
+        valid = jnp.asarray(np.concatenate(
+            [np.ones(n, bool), np.zeros(40, bool)]))
+        feats = np.zeros((n + 40, 8), np.float32)
+        feats[:n] = rng.normal(size=(n, 8))
+        feats = jnp.asarray(feats)
+        grid = (D, H, W)
+        rb = sc.build_submanifold_rulebook(coords, valid, grid, (3, 3, 3))
+        keys = sc.linearize(coords, grid)
+        qk = sc.subm_tap_keys(coords, valid, grid, (3, 3, 3))
+        tile, window, sub = 128, 640, 256
+        assert bool(sgg.keymatch_fits(keys, qk, tile=tile, window=window,
+                                      subwindow=sub))
+        # the decision actually produces nonzero offsets
+        L = 640
+        kp = jnp.pad(keys, (0, L - keys.shape[0]),
+                     constant_values=INT32_MAX)
+        qp = jnp.pad(qk, ((0, 0), (0, L - qk.shape[1])),
+                     constant_values=INT32_MAX)
+        _, off, fits = sgg._keymatch_subwin_decision(kp, qp, L, tile,
+                                                     window, sub)
+        assert bool(fits) and int(np.asarray(off).max()) >= 128
+        assert int(np.asarray(off).max()) % 128 == 0
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, tile, window,
+                                True, sub)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("stride", [(2, 2, 2), (2, 1, 1)])
+    def test_subwindow_matches_strided_conv(self, stride):
+        rng = np.random.default_rng(8)
+        feats, coords, valid = random_sparse(rng)
+        kernel, pad, max_out = (3, 3, 3), (1, 1, 1), 48
+        layout = sc.build_strided_layout(coords, valid, GRID, kernel,
+                                         stride, pad, max_out)
+        sites = sc.build_strided_sites(coords, valid, GRID, kernel,
+                                       stride, pad, max_out)
+        keys = sc.linearize(coords, GRID)
+        qk = sc.strided_tap_keys(sites, GRID, kernel, stride, pad)
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.strided_sparse_conv(feats, layout, w)
+        out = sgg.keymatch_gemm(feats, keys, qk, w, True, 8, 80, True,
+                                80)
+        out = jnp.where(sites.out_valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_subwindow_grads_match(self):
+        rng = np.random.default_rng(9)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        cot = jnp.asarray(
+            rng.normal(size=(feats.shape[0], 16)).astype(np.float32))
+
+        def loss_ref(f, ww):
+            out = sc.submanifold_conv(f, rb, ww, valid=valid)
+            return jnp.sum(out * cot)
+
+        def loss_km(f, ww):
+            out = sgg.keymatch_gemm(f, keys, qk, ww, True, 8, 80, True,
+                                    80)
+            out = jnp.where(valid[:, None], out, 0.0)
+            return jnp.sum(out * cot)
+
+        gr_f, gr_w = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gk_f, gk_w = jax.grad(loss_km, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gk_f),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr_w), np.asarray(gk_w),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_tap_spans_bound_subwindow(self):
+        """choose_keymatch_subwindow's spans actually cover: a kernel
+        run at exactly the chosen subwindow selects the Pallas path."""
+        rng = np.random.default_rng(10)
+        feats, coords, valid = random_sparse(rng)
+        keys = sc.linearize(coords, GRID)
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))
+        ws = sgg.choose_keymatch_subwindow(
+            [(np.asarray(keys), np.asarray(qk))], tile=8)
+        assert ws % 128 == 0
+        assert bool(sgg.keymatch_fits(keys, qk, tile=8, window=80,
+                                      subwindow=min(ws, 80)))
+
     def test_grads_match_rulebook_path(self):
         rng = np.random.default_rng(4)
         feats, coords, valid = random_sparse(rng)
@@ -198,3 +318,37 @@ class TestSparseMiddleKeymatch:
                                   tile=8)
         assert len(wins) == 2 and all(w % 128 == 0 or w >= 32
                                       for w in wins)
+
+    def test_per_join_pairs_and_subwindow_match_global(self):
+        """(subm, strided) window pairs and keymatch_subwindow settings
+        are numerically identical to the global-window default (they
+        only change routing / compare width), including entries that
+        force the XLA fallback."""
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        rng = np.random.default_rng(11)
+        B, V = 2, 96
+        D, H, W = 8, 16, 16
+        coords = np.full((B, V, 3), -1, np.int32)
+        feats = np.zeros((B, V, 4), np.float32)
+        for b in range(B):
+            n = 48
+            lin = rng.choice(D * H * W, n, replace=False)
+            zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+            key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+            coords[b, :n] = zyx[np.argsort(key)]
+            feats[b, :n] = rng.normal(size=(n, 4))
+        kw = dict(grid_dhw=(D, H, W), num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 1),
+                  z_strides=(2, 2), xy_strides=(2, 2),
+                  use_pallas_gemm=True, use_keymatch=True, pallas_tile=8)
+        m_glob = SparseMiddle(pallas_window=96, **kw)
+        m_pair = SparseMiddle(pallas_window=((96, 96), (96, 32)),
+                              keymatch_subwindow=((96, 96), (32, 96)),
+                              **kw)
+        fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+        variables = m_glob.init(jax.random.key(0), fj, cj)
+        ref = m_glob.apply(variables, fj, cj)
+        out = m_pair.apply(variables, fj, cj)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-4)
