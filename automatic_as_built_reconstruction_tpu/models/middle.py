@@ -174,6 +174,14 @@ class SparseMiddle(nn.Module):
     # pallas_window: int, per-block tuple, or (subm, strided) pairs;
     # size with sgg.choose_keymatch_subwindow
     keymatch_subwindow: int | Tuple = 0
+    # grouped-tap key-match kernel (requires keymatch_subwindow): taps
+    # differing only in dz share one per-(group, tile) subwindow (a dz
+    # shift moves a depth-minor key by +-1), so each (dy, dx) group's
+    # kz one-hot matrices stack into ONE gather matmul + ONE accumulate
+    # matmul — kz-fold fewer, kz-fold larger MXU ops at identical MACs.
+    # The tap permutation (sgg.group_perm) is applied to the query keys
+    # and weights here; results are exact either way.
+    keymatch_group: bool = False
     # key-match serving mode: skip building rulebooks entirely — the
     # Pallas kernel joins sorted input keys against per-tap query keys
     # with an in-VMEM equality compare (sgg.keymatch_gemm).  The only
@@ -266,6 +274,17 @@ class SparseMiddle(nn.Module):
 
             win_b, win_str = _per_join(self.pallas_window)
             sub_b, sub_str = _per_join(self.keymatch_subwindow)
+            # grouped-tap mode: group size = the kernel's z extent
+            # (taps of one (dy, dx) column differ only in dz); the tap
+            # permutation below is applied to query keys AND weights
+            g_subm = (int(blk.subm_kernel[0])
+                      if self.keymatch_group and sub_b else 1)
+            g_str = (int(blk.kernel[0])
+                     if self.keymatch_group and sub_str else 1)
+            perm_subm = (sgg.group_perm(blk.subm_kernel)
+                         if g_subm > 1 else None)
+            perm_str = (sgg.group_perm(blk.kernel)
+                        if g_str > 1 else None)
             # submanifold stack (shared rulebook per block)
             rb = layout = sites = None
             qk_subm = qk_str = in_keys = None
@@ -283,6 +302,8 @@ class SparseMiddle(nn.Module):
                     qk_subm = jax.vmap(functools.partial(
                         sc.subm_tap_keys, grid_dhw=blk.grid,
                         kernel_size=blk.subm_kernel))(cur_coords, valid)
+                    if perm_subm is not None:
+                        qk_subm = qk_subm[:, perm_subm]
                 sites = jax.vmap(functools.partial(
                     sc.build_strided_sites, grid_dhw=blk.grid,
                     kernel_size=blk.kernel, stride=blk.stride,
@@ -292,6 +313,8 @@ class SparseMiddle(nn.Module):
                     sc.strided_tap_keys, grid_in=blk.grid,
                     kernel_size=blk.kernel, stride=blk.stride,
                     padding=blk.pad))(sites)
+                if perm_str is not None:
+                    qk_str = qk_str[:, perm_str]
             else:
                 # merge-join on-device construction: one combined sort +
                 # cummax per rulebook — grid-size independent (no
@@ -318,10 +341,13 @@ class SparseMiddle(nn.Module):
                                       blk.subm_channels)
                 if use_km:
                     wd = w.astype(self.dtype)
+                    if perm_subm is not None:
+                        wd = wd[perm_subm]
                     feats = jax.lax.map(
                         lambda a: sgg.keymatch_gemm(
                             a[0], a[1], a[2], wd, None,
-                            self.pallas_tile, win_b, True, sub_b),
+                            self.pallas_tile, win_b, True, sub_b,
+                            g_subm),
                         (feats, in_keys, qk_subm))
                     feats = jnp.where(valid[..., None], feats, 0.0).astype(
                         self.dtype)
@@ -350,10 +376,13 @@ class SparseMiddle(nn.Module):
             w = self._conv_params(f"b{bi}_down", k_down, cin, blk.cout)
             if use_km:
                 wd = w.astype(self.dtype)
+                if perm_str is not None:
+                    wd = wd[perm_str]
                 feats = jax.lax.map(
                     lambda a: sgg.keymatch_gemm(
                         a[0], a[1], a[2], wd, None,
-                        self.pallas_tile, win_str, True, sub_str),
+                        self.pallas_tile, win_str, True, sub_str,
+                        g_str),
                     (feats, in_keys, qk_str))
                 out_valid, out_coords = sites.out_valid, sites.out_coords
                 num_out = sites.num_out

@@ -182,6 +182,11 @@ class VoxelNetConfig:
                                           # — same structure as
                                           # sparse_pallas_window, incl.
                                           # (subm, strided) pairs
+    sparse_keymatch_group: bool = False   # grouped-tap kernel: stack
+                                          # each (dy, dx) column's kz
+                                          # dz-taps into one gather +
+                                          # one accumulate matmul
+                                          # (needs the subwindow mode)
     sparse_capacity_shrink: Optional[float] = None
                                           # middle active-site capacity
                                           # multiplier per strided conv;
@@ -286,6 +291,7 @@ class VoxelNet(nn.Module):
                 kwargs["use_keymatch"] = cfg.sparse_keymatch
                 kwargs["keymatch_subwindow"] = \
                     cfg.sparse_keymatch_subwindow
+                kwargs["keymatch_group"] = cfg.sparse_keymatch_group
                 kwargs["blocks"] = cfg.middle_blocks
                 kwargs["capacity_shrink"] = cfg.sparse_capacity_shrink
                 kwargs["out_caps"] = cfg.sparse_out_caps

@@ -709,6 +709,160 @@ def _pallas_keymatch_gemm_subwin(featsT, keys, qk, win_start, tap_off,
     )(win_start, tap_off, qk, keys.reshape(1, L), featsT, weights)
 
 
+def _keymatch_kernel_grouped(win_ref, off_ref, qk_ref, keysT_hbm,
+                             featsT_hbm, w_ref, out_ref, fscratch,
+                             kscratch, sems, ksems, *, NG: int, G: int,
+                             TN: int, W: int, WS: int, n_tiles: int):
+    """Grouped-tap variant of :func:`_keymatch_kernel_subwin`.
+
+    Taps arrive pre-permuted so that each contiguous run of ``G`` taps
+    differs only in dz (see :func:`group_perm`).  Under the depth-minor
+    key order a dz shift moves a query key by exactly +-1, so a group's
+    matched rows span barely more than a single tap's — one
+    per-(group, tile) subwindow serves all G taps.  The G one-hot
+    matrices stack row-wise into ONE gather matmul
+    ``[G*TN, WS] @ [WS, Cin]`` and the accumulate collapses to ONE
+    ``[TN, G*Cin] @ [G*Cin, Cout]`` matmul per group: G-fold fewer,
+    G-fold larger MXU ops than the per-tap kernel at identical MACs —
+    this attacks the measured efficiency gap (many narrow matmuls), not
+    the MAC count.
+
+    No validity mask pass: the wrapper zeroes feature rows whose key is
+    the INT32_MAX sentinel, so sentinel queries can only ever match
+    zero-feature rows and contribute nothing.
+    """
+    t = pl.program_id(0)
+
+    def get_dma(slot, tt):
+        ws = pl.multiple_of(win_ref[tt], 128)
+        return (pltpu.make_async_copy(
+                    featsT_hbm.at[:, pl.ds(ws, W)],
+                    fscratch.at[slot], sems.at[slot]),
+                pltpu.make_async_copy(
+                    keysT_hbm.at[:, pl.ds(ws, W)],
+                    kscratch.at[slot], ksems.at[slot]))
+
+    @pl.when(t == 0)
+    def _start_first():
+        for d in get_dma(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _start_next():
+        for d in get_dma((t + 1) % 2, t + 1):
+            d.start()
+
+    for d in get_dma(t % 2, t):
+        d.wait()
+
+    sl = pl.ds(pl.multiple_of(t * TN, TN), TN)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(NG):                    # static unroll over groups
+        o = pl.multiple_of(off_ref[g * n_tiles + t], 128)
+        sub_keys = kscratch[t % 2, 0, pl.ds(o, WS)]         # [WS]
+        onehots = []
+        for i in range(G):
+            qcol = qk_ref[g * G + i, sl][:, None]           # [TN, 1]
+            onehots.append(
+                (sub_keys[None, :] == qcol).astype(fscratch.dtype))
+        stacked = jnp.concatenate(onehots, axis=0)          # [G*TN, WS]
+        gathered = jax.lax.dot_general(
+            stacked, fscratch[t % 2, :, pl.ds(o, WS)],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [G*TN, Cin]
+        cols = jnp.concatenate(
+            [lax.slice_in_dim(gathered, i * TN, (i + 1) * TN, axis=0)
+             for i in range(G)], axis=1)                    # [TN, G*Cin]
+        acc = acc + jax.lax.dot(
+            cols.astype(w_ref.dtype), w_ref[g],
+            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _pallas_keymatch_gemm_grouped(featsT, keys, qk, win_start, grp_off,
+                                  weights_g, *, TN: int, W: int,
+                                  WS: int, G: int, interpret: bool):
+    """``weights_g``: [NG, G*Cin, Cout] — taps pre-permuted into
+    contiguous dz-groups and flattened tap-major into the contraction
+    axis (matching the kernel's column concatenation order)."""
+    Cin, L = featsT.shape
+    NG = weights_g.shape[0]
+    Cout = weights_g.shape[-1]
+    n_tiles = L // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # qk
+            pl.BlockSpec(memory_space=pl.ANY),                   # keysT HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # featsT HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((TN, Cout), lambda t, ws, off: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Cin, W), featsT.dtype),
+            pltpu.VMEM((2, 1, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_keymatch_kernel_grouped, NG=NG, G=G, TN=TN,
+                          W=W, WS=WS, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Cout), jnp.float32),
+        interpret=interpret,
+    )(win_start, grp_off, qk, keys.reshape(1, L), featsT, weights_g)
+
+
+def group_perm(kernel_size) -> np.ndarray:
+    """Tap permutation that makes dz-groups CONTIGUOUS: tap enumeration
+    (:func:`sparse_conv._offsets` / ``conv_taps``) is z-major
+    (``k = (dz*ky + dy)*kx + dx``); the grouped kernel wants
+    (dy, dx)-major with dz minor — ``ky*kx`` groups of ``kz`` taps
+    each.  Apply to BOTH the query-key
+    rows and the weight taps: ``qk[perm], w[perm]`` (the tap sum is
+    permutation-invariant, so results are unchanged)."""
+    kz, ky, kx = (int(k) for k in kernel_size)
+    g, i = np.meshgrid(np.arange(ky * kx), np.arange(kz),
+                       indexing="ij")
+    return (i * (ky * kx) + g).reshape(-1)          # [ky*kx*kz]
+
+
+def _keymatch_group_decision(keys, qk, L: int, TN: int, W: int,
+                             WS: int, G: int):
+    """Union window starts [nt] + per-(GROUP, tile) subwindow offsets
+    [NG, nt] + routing test (grouped twin of
+    :func:`_keymatch_subwin_decision`): the union window must cover
+    every tap's matched rows AND each dz-group's matched rows must fit
+    its WS-wide subwindow.  ``qk`` must already be group-permuted."""
+    K = qk.shape[0]
+    NG = K // G
+    n_tiles = L // TN
+    qk_t = qk.reshape(NG, G, n_tiles, TN)
+    validq = qk_t != _INT32_MAX
+    big = jnp.int32(_INT32_MAX)
+    lo = jnp.min(jnp.where(validq, qk_t, big), axis=(1, 3))    # [NG, nt]
+    hi = jnp.max(jnp.where(validq, qk_t, -1), axis=(1, 3))
+    start_row = jnp.searchsorted(keys, lo).astype(jnp.int32)
+    end_row = jnp.searchsorted(keys, hi, side="right").astype(jnp.int32)
+    lo_u, hi_u = lo.min(0), hi.max(0)                          # [nt]
+    su = jnp.searchsorted(keys, lo_u).astype(jnp.int32)
+    eu = jnp.searchsorted(keys, hi_u, side="right").astype(jnp.int32)
+    win_start = (jnp.clip(jnp.where(lo_u == big, 0, su), 0,
+                          max(L - W, 0)) // 128 * 128)
+    fits_u = jnp.where(hi_u < 0, True, eu - 1 - win_start < W)
+    off = jnp.clip((start_row - win_start[None, :]) // 128 * 128,
+                   0, max(W - WS, 0))
+    fits_g = jnp.where(hi < 0, True,
+                       end_row - 1 - (win_start[None, :] + off) < WS)
+    sorted_unique = jnp.all((keys[1:] > keys[:-1])
+                            | (keys[1:] == big))
+    fits = jnp.all(fits_u) & jnp.all(fits_g) & sorted_unique
+    return win_start, off, fits
+
+
 def _keymatch_subwin_decision(keys, qk, L: int, TN: int, W: int,
                               WS: int):
     """Union window starts [nt] + per-(tap, tile) subwindow offsets
@@ -789,10 +943,11 @@ def _keymatch_window_decision(keys, qk, L: int, TN: int, W: int):
 
 def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
                   tile: int = 256, window: int = 768,
-                  shared: bool = True, subwindow: int = 0) -> jax.Array:
+                  shared: bool = True, subwindow: int = 0,
+                  group: int = 1) -> jax.Array:
     """Telemetry twin of the key-match routing decision (cf.
-    :func:`pallas_fits`).  ``shared``/``subwindow`` must match the
-    kernel mode."""
+    :func:`pallas_fits`).  ``shared``/``subwindow``/``group`` must
+    match the kernel mode (``q_keys`` group-permuted when group > 1)."""
     N = in_keys.shape[0]
     K, M = q_keys.shape
     TN = int(tile)
@@ -802,6 +957,12 @@ def keymatch_fits(in_keys: jax.Array, q_keys: jax.Array,
     keys = jnp.pad(in_keys, (0, L - N), constant_values=_INT32_MAX)
     qk = jnp.pad(q_keys, ((0, 0), (0, L - M)),
                  constant_values=_INT32_MAX)
+    if subwindow and group > 1:
+        _, _, fits = _keymatch_group_decision(keys, qk, L, TN,
+                                              int(window),
+                                              int(subwindow),
+                                              int(group))
+        return fits
     if subwindow:
         _, _, fits = _keymatch_subwin_decision(keys, qk, L, TN,
                                                int(window),
@@ -836,6 +997,35 @@ def keymatch_tap_spans(in_keys: np.ndarray, q_keys: np.ndarray,
     validq = qk_t != big
     lo = np.where(validq, qk_t, np.iinfo(np.int64).max).min(2)  # [K, nt]
     hi = np.where(validq, qk_t, -1).max(2)
+    start = np.searchsorted(keys_p, lo) // 128 * 128
+    end = np.searchsorted(keys_p, hi, side="right")
+    return np.where(hi >= 0, end - start, 0).reshape(-1)
+
+
+def keymatch_group_spans(in_keys: np.ndarray, q_keys: np.ndarray,
+                         tile: int = 256, group: int = 1) -> np.ndarray:
+    """Host-side per-(GROUP, tile) row spans for the grouped key-match
+    kernel (``q_keys`` must already be group-permuted — see
+    :func:`group_perm`): how many table rows each dz-group's matched
+    range covers from its 128-aligned subwindow start.  Under the
+    depth-minor key order this is barely wider than a single tap's span
+    (a dz shift moves a query key by +-1)."""
+    big = np.iinfo(np.int32).max
+    keys = np.asarray(in_keys, np.int64)
+    qk = np.asarray(q_keys, np.int64)
+    N = keys.shape[0]
+    K, M = qk.shape
+    G = int(group)
+    TN = int(tile)
+    L = -(-max(N, M) // TN) * TN
+    keys_p = np.full(L, big, np.int64)
+    keys_p[:N] = keys
+    qk_p = np.full((K, L), big, np.int64)
+    qk_p[:, :M] = qk
+    qk_t = qk_p.reshape(K // G, G, -1, TN)
+    validq = qk_t != big
+    lo = np.where(validq, qk_t, np.iinfo(np.int64).max).min((1, 3))
+    hi = np.where(validq, qk_t, -1).max((1, 3))                # [NG, nt]
     start = np.searchsorted(keys_p, lo) // 128 * 128
     end = np.searchsorted(keys_p, hi, side="right")
     return np.where(hi >= 0, end - start, 0).reshape(-1)
@@ -904,12 +1094,12 @@ def choose_keymatch_window(samples, tile: int = 256,
     return int(min(max(need, 128), max_window, max(vmem_cap, 128)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
                   q_keys: jax.Array, weights: jax.Array,
                   interpret: bool | None = None, tile: int = 256,
                   window: int = 768, shared: bool = True,
-                  subwindow: int = 0) -> jax.Array:
+                  subwindow: int = 0, group: int = 1) -> jax.Array:
     """features [N, Cin] x sorted keys [N] x query keys [K, M] x weights
     [K, Cin, Cout] -> [M, Cout] float32.
 
@@ -931,17 +1121,26 @@ def keymatch_gemm(features: jax.Array, in_keys: jax.Array,
     less than the K-tap union, and the one-hot compare (VPU) + gather
     matmul (MXU) both scale with the compare width.  Size WS with
     :func:`choose_keymatch_subwindow`.
+
+    ``group=G > 1`` (requires subwindow mode; ``G`` must divide K and
+    the CALLER must have permuted ``q_keys`` rows and ``weights`` taps
+    with :func:`group_perm` so each contiguous G-tap run differs only
+    in dz): the G one-hot matrices share one per-(group, tile)
+    subwindow and stack into ONE gather matmul + ONE accumulate matmul
+    — G-fold fewer, G-fold larger MXU ops at identical MACs.
     """
     return _keymatch_impl(features, in_keys, q_keys, weights,
                           interpret=interpret, tile=tile, window=window,
-                          shared=shared, subwindow=subwindow)
+                          shared=shared, subwindow=subwindow,
+                          group=group)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "window",
-                                    "shared", "subwindow"))
+                                    "shared", "subwindow", "group"))
 def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
-                   tile=256, window=768, shared=True, subwindow=0):
+                   tile=256, window=768, shared=True, subwindow=0,
+                   group=1):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 
@@ -975,6 +1174,26 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
     if W > L or (WS and WS > W):  # table smaller than one window
         return xla_path((feats, keys, qk, w_cast))[:M]
 
+    if WS and group > 1:
+        if K % group:
+            raise ValueError(f"group={group} must divide K={K}")
+        win_start, grp_off, fits = _keymatch_group_decision(
+            keys, qk, L, TN, W, WS, int(group))
+        NG = K // int(group)
+        wg = w_cast.reshape(NG, int(group) * Cin, Cout)
+
+        def pallas_path(args):
+            f, ky, q, wf, off, w = args
+            return _pallas_keymatch_gemm_grouped(
+                f.T, ky, q, wf, off, w, TN=TN, W=W, WS=WS,
+                G=int(group), interpret=interpret)
+
+        out = lax.cond(fits, pallas_path,
+                       lambda a: xla_path((a[0], a[1], a[2], w_cast)),
+                       (feats, keys, qk, win_start.reshape(-1),
+                        grp_off.reshape(-1), wg))
+        return out[:M]
+
     if WS:
         win_start, tap_off, fits = _keymatch_subwin_decision(
             keys, qk, L, TN, W, WS)
@@ -1007,14 +1226,16 @@ def _keymatch_impl(features, in_keys, q_keys, weights, interpret=None,
 
 
 def _keymatch_fwd(features, in_keys, q_keys, weights, interpret, tile,
-                  window, shared, subwindow):
+                  window, shared, subwindow, group):
     out = _keymatch_impl(features, in_keys, q_keys, weights,
                          interpret=interpret, tile=tile, window=window,
-                         shared=shared, subwindow=subwindow)
+                         shared=shared, subwindow=subwindow,
+                         group=group)
     return out, (features, in_keys, q_keys, weights)
 
 
-def _keymatch_bwd(interpret, tile, window, shared, subwindow, res, dout):
+def _keymatch_bwd(interpret, tile, window, shared, subwindow, group,
+                  res, dout):
     from automatic_as_built_reconstruction_tpu.ops.sparse_conv import (
         _merge_lookup)
 

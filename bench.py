@@ -407,11 +407,12 @@ def _fhd_setup(jax, jnp, B: int | None = None):
         km_windows = cached.get("keymatch_windows")
         km_win_pairs = cached.get("keymatch_win_pairs")
         km_sub_pairs = cached.get("keymatch_sub_pairs")
-        if km_win_pairs is None:
+        km_grp_pairs = cached.get("keymatch_grp_pairs")
+        if km_win_pairs is None or km_grp_pairs is None:
             # older cache: the per-JOIN pair/subwindow tune is cheap
             # (host spans over one scan's keys; no telemetry rulebooks)
             # — compute it now and persist alongside the legacy fields
-            km_win_pairs, km_sub_pairs = _keymatch_autotune(
+            km_win_pairs, km_sub_pairs, km_grp_pairs = _keymatch_autotune(
                 jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile)
             km_miss = _keymatch_miss_rate(
                 jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile,
@@ -419,6 +420,7 @@ def _fhd_setup(jax, jnp, B: int | None = None):
             cached = dict(cached)
             cached.update({"keymatch_win_pairs": km_win_pairs,
                            "keymatch_sub_pairs": km_sub_pairs,
+                           "keymatch_grp_pairs": km_grp_pairs,
                            "keymatch_fallback_rate": round(km_miss, 3)})
             _cache_store(cache_params, cached)
         _progress(f"fhd: autotune cache hit (window={window}, "
@@ -442,7 +444,7 @@ def _fhd_setup(jax, jnp, B: int | None = None):
                                  window=window))
             for gi, fo, n in books)
         fallback_rate = 1.0 - n_fit / max(len(books), 1)
-        km_win_pairs, km_sub_pairs = _keymatch_autotune(
+        km_win_pairs, km_sub_pairs, km_grp_pairs = _keymatch_autotune(
             jax, jnp, vox0.coords[0], plan, vcfg.sparse_pallas_tile)
         km_windows = [max(p) for p in km_win_pairs]
         km_window = max(km_windows)
@@ -457,6 +459,7 @@ def _fhd_setup(jax, jnp, B: int | None = None):
             "keymatch_windows": km_windows,
             "keymatch_win_pairs": km_win_pairs,
             "keymatch_sub_pairs": km_sub_pairs,
+            "keymatch_grp_pairs": km_grp_pairs,
             "keymatch_fallback_rate": round(km_miss, 3)})
     vcfg = dataclasses.replace(
         vcfg, sparse_pallas_window=(tuple(int(w) for w in windows_pb)
@@ -469,6 +472,7 @@ def _fhd_setup(jax, jnp, B: int | None = None):
         windows_pb=windows_pb, fallback_rate=fallback_rate,
         km_window=km_window, km_windows=km_windows, km_miss=km_miss,
         km_win_pairs=km_win_pairs, km_sub_pairs=km_sub_pairs,
+        km_grp_pairs=km_grp_pairs,
         voxelnet_mod=voxelnet_mod, vox0=vox0)
 
 
@@ -565,10 +569,37 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
                         * det["valid"][..., None]).astype(jnp.float32)
                 + jnp.sum(det["scores"]))
 
+    # --- grouped-tap kernel on top of key-match + dense tail: each
+    # (dy, dx) tap column's kz one-hot matrices stack into ONE gather +
+    # ONE accumulate matmul (kz-fold fewer, larger MXU ops at identical
+    # MACs — sgg._keymatch_kernel_grouped); group subwindows are the
+    # measured dz-group spans (barely wider than single-tap spans)
+    km_grp_pairs = s.get("km_grp_pairs")
+    if km_grp_pairs:
+        grp_sub_cfg = tuple(tuple(int(w) for w in p)
+                            for p in km_grp_pairs)
+    else:
+        grp_sub_cfg = km_sub_cfg
+    vcfg_grp = dataclasses.replace(
+        vcfg_dt, sparse_keymatch_group=True,
+        sparse_keymatch_subwindow=grp_sub_cfg)
+    model_grp = VoxelNet(cfg=vcfg_grp)
+
+    def stage_full_grp(i, pts0):
+        r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
+        preds = model_grp.apply(variables, r.voxels, r.num_points,
+                                r.coords, train=False)
+        det = voxelnet_mod.predict(preds, anchors_b, vcfg_grp)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
     _progress("fhd: timing device-only full pipeline (key-match mode)")
     dt_km = _loop_delta(jax, jnp, stage_full_km, (pts,), 1, 3)
     _progress("fhd: timing full pipeline (key-match + dense-tail mode)")
     dt_dt = _loop_delta(jax, jnp, stage_full_dt, (pts,), 1, 3)
+    _progress("fhd: timing full pipeline (grouped-tap + dense-tail)")
+    dt_grp = _loop_delta(jax, jnp, stage_full_grp, (pts,), 1, 3)
     _progress("fhd: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
     if FULL:
@@ -581,11 +612,13 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         dt_rb = float("inf")
     # headline = the best serving configuration (all are full
     # pipelines: voxelize -> middle -> RPN -> decode + rotated NMS)
-    dt_full = min(dt_rb, dt_km, dt_dt)
+    dt_full = min(dt_rb, dt_km, dt_dt, dt_grp)
     device_sps = B / dt_full
 
     # cost analysis on the headline path's program
-    stage_best = stage_full_dt if dt_dt <= dt_km else stage_full_km
+    stage_best = {dt_km: stage_full_km, dt_dt: stage_full_dt,
+                  dt_grp: stage_full_grp}.get(
+                      min(dt_km, dt_dt, dt_grp), stage_full_km)
     flops = _flops_of(
         jax, lambda p: stage_best(jnp.float32(1.0), p), pts)
     flops_per_scan = flops / B if flops else None
@@ -605,6 +638,7 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "second_fhd_mfu": round(mfu, 4) if mfu else None,
         "second_fhd_keymatch_scans_per_sec": round(B / dt_km, 2),
         "second_fhd_densetail_scans_per_sec": round(B / dt_dt, 2),
+        "second_fhd_grouped_scans_per_sec": round(B / dt_grp, 2),
         "second_fhd_rulebook_scans_per_sec": (
             round(B / dt_rb, 2) if np.isfinite(dt_rb) else None),
         "pallas_window": window,
@@ -614,6 +648,7 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
         "keymatch_windows_per_block": km_windows,
         "keymatch_win_pairs": km_win_pairs,
         "keymatch_sub_pairs": km_sub_pairs,
+        "keymatch_grp_pairs": km_grp_pairs,
         "keymatch_fallback_rate": round(km_miss, 3),
     }
     # host pipeline runs as a separate closure so main() can emit the
@@ -674,34 +709,47 @@ def _keymatch_autotune(jax, jnp, coords0, plan, tile):
     vmem_cap = (8 << 20) // (2 * 64 * 2) // 128 * 128
     bound = int(min(4096, max(vmem_cap, 128)))
 
-    def tune(in_keys, qk):
+    def tune(in_keys, qk, kernel):
         spans = sgg.keymatch_window_spans(in_keys, qk, tile)
         w = (-(-int(spans.max()) // 128) * 128) if spans.size else 128
         tspans = sgg.keymatch_tap_spans(in_keys, qk, tile)
         s = (-(-int(tspans.max()) // 128) * 128) if tspans.size else 128
-        return min(max(w, 128), bound), min(max(s, 128), bound)
+        # grouped-tap mode: the group subwindow must cover each dz
+        # GROUP's union span (barely wider than one tap's under the
+        # depth-minor order)
+        G = int(kernel[0])
+        if G > 1:
+            gspans = sgg.keymatch_group_spans(
+                in_keys, qk[sgg.group_perm(kernel)], tile, G)
+            gs = ((-(-int(gspans.max()) // 128) * 128)
+                  if gspans.size else 128)
+        else:
+            gs = s
+        return (min(max(w, 128), bound), min(max(s, 128), bound),
+                min(max(gs, 128), bound))
 
-    win_pairs, sub_pairs = [], []
+    win_pairs, sub_pairs, grp_pairs = [], [], []
     coords = coords0
     valid = coords[..., 0] >= 0
     for blk in plan:
         in_keys = np.asarray(
             jax.jit(lambda c, b=blk: sc.linearize(c, b.grid))(coords))
-        subm_w = subm_s = 128
+        subm_w = subm_s = subm_g = 128
         if blk.n_subm > 0:
             qk = np.asarray(jax.jit(lambda c, v, b=blk: sc.subm_tap_keys(
                 c, v, b.grid, b.subm_kernel))(coords, valid))
-            subm_w, subm_s = tune(in_keys, qk)
+            subm_w, subm_s, subm_g = tune(in_keys, qk, blk.subm_kernel)
         sites = jax.jit(lambda c, v, b=blk: sc.build_strided_sites(
             c, v, b.grid, b.kernel, b.stride, b.pad,
             b.out_cap))(coords, valid)
         qk = np.asarray(jax.jit(lambda s, b=blk: sc.strided_tap_keys(
             s, b.grid, b.kernel, b.stride, b.pad))(sites))
-        str_w, str_s = tune(in_keys, qk)
+        str_w, str_s, str_g = tune(in_keys, qk, blk.kernel)
         win_pairs.append([subm_w, str_w])
         sub_pairs.append([subm_s, str_s])
+        grp_pairs.append([subm_g, str_g])
         coords, valid = sites.out_coords, sites.out_valid
-    return win_pairs, sub_pairs
+    return win_pairs, sub_pairs, grp_pairs
 
 
 def _keymatch_miss_rate(jax, jnp, coords0, plan, tile, window,

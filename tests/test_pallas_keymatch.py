@@ -352,3 +352,144 @@ class TestSparseMiddleKeymatch:
         out = m_pair.apply(variables, fj, cj)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestKeymatchGrouped:
+    """Grouped-tap kernel: taps permuted (dy, dx)-major / dz-minor so
+    each contiguous kz-tap run shares one per-(group, tile) subwindow
+    and stacks into one gather + one accumulate matmul."""
+
+    def test_group_perm_roundtrip(self):
+        perm = sgg.group_perm((3, 3, 3))
+        assert sorted(perm.tolist()) == list(range(27))
+        offs = sc._offsets((3, 3, 3))[perm]
+        # consecutive runs of 3 share (dy, dx) and enumerate dz
+        for g in range(9):
+            run = offs[3 * g:3 * g + 3]
+            assert (run[:, 1] == run[0, 1]).all()
+            assert (run[:, 2] == run[0, 2]).all()
+            assert run[:, 0].tolist() == [-1, 0, 1]
+
+    @pytest.mark.parametrize("subwindow", [80, 32])
+    def test_grouped_matches_submanifold_conv(self, subwindow):
+        """subwindow=80 (== padded table) -> grouped Pallas interpret
+        path; subwindow=32 -> some groups over-span -> exact XLA
+        fallback.  Both must match the rulebook path."""
+        rng = np.random.default_rng(12)
+        feats, coords, valid = random_sparse(rng)
+        rb = sc.build_submanifold_rulebook(coords, valid, GRID, (3, 3, 3))
+        keys = sc.linearize(coords, GRID)
+        perm = sgg.group_perm((3, 3, 3))
+        qk = sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3))[perm]
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w[jnp.asarray(perm)],
+                                True, 8, 80, True, subwindow, 3)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grouped_matches_strided_conv(self):
+        rng = np.random.default_rng(13)
+        feats, coords, valid = random_sparse(rng)
+        kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+        layout = sc.build_strided_layout(coords, valid, GRID, kernel,
+                                         stride, pad, max_out=64)
+        keys = sc.linearize(coords, GRID)
+        sites = sc.build_strided_sites(coords, valid, GRID, kernel,
+                                       stride, pad, 64)
+        perm = sgg.group_perm(kernel)
+        qk = sc.strided_tap_keys(sites, GRID, kernel, stride, pad)[perm]
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.strided_sparse_conv(feats, layout, w)
+        ref = jnp.where(layout.out_valid[:, None], ref, 0.0)
+        out = sgg.keymatch_gemm(feats, keys, qk, w[jnp.asarray(perm)],
+                                True, 8, 80, True, 80, 3)
+        out = jnp.where(sites.out_valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grouped_nonzero_offsets(self):
+        """Real per-(group, tile) offsets (multiples of 128) with the
+        grouped Pallas path actually selected; parity vs rulebook."""
+        rng = np.random.default_rng(14)
+        D, H, W = 8, 40, 40
+        n = 600
+        lin = rng.choice(D * H * W, n, replace=False)
+        zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+        key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+        zyx = zyx[np.argsort(key)]
+        coords = jnp.asarray(np.concatenate(
+            [zyx, np.full((40, 3), -1)]).astype(np.int32))
+        valid = jnp.asarray(np.concatenate(
+            [np.ones(n, bool), np.zeros(40, bool)]))
+        feats = np.zeros((n + 40, 8), np.float32)
+        feats[:n] = rng.normal(size=(n, 8))
+        feats = jnp.asarray(feats)
+        grid = (D, H, W)
+        rb = sc.build_submanifold_rulebook(coords, valid, grid, (3, 3, 3))
+        keys = sc.linearize(coords, grid)
+        perm = sgg.group_perm((3, 3, 3))
+        qk = sc.subm_tap_keys(coords, valid, grid, (3, 3, 3))[perm]
+        tile, window, sub = 128, 640, 256
+        assert bool(sgg.keymatch_fits(keys, qk, tile=tile, window=window,
+                                      subwindow=sub, group=3))
+        L = 640
+        kp = jnp.pad(keys, (0, L - keys.shape[0]),
+                     constant_values=INT32_MAX)
+        qp = jnp.pad(qk, ((0, 0), (0, L - qk.shape[1])),
+                     constant_values=INT32_MAX)
+        _, off, fits = sgg._keymatch_group_decision(kp, qp, L, tile,
+                                                    window, sub, 3)
+        assert bool(fits) and int(np.asarray(off).max()) >= 128
+        w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+        ref = sc.submanifold_conv(feats, rb, w, valid=valid)
+        out = sgg.keymatch_gemm(feats, keys, qk, w[jnp.asarray(perm)],
+                                True, tile, window, True, sub, 3)
+        out = jnp.where(valid[:, None], out, 0.0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_group_spans_close_to_tap_spans(self):
+        """Depth-minor order: a dz-group's span is barely wider than a
+        single tap's (the structural fact the grouping exploits)."""
+        rng = np.random.default_rng(15)
+        feats, coords, valid = random_sparse(rng, n_active=70)
+        keys = sc.linearize(coords, GRID)
+        perm = sgg.group_perm((3, 3, 3))
+        qk = np.asarray(sc.subm_tap_keys(coords, valid, GRID, (3, 3, 3)))
+        tap = sgg.keymatch_tap_spans(np.asarray(keys), qk, tile=8)
+        grp = sgg.keymatch_group_spans(np.asarray(keys), qk[perm],
+                                       tile=8, group=3)
+        assert grp.max() <= tap.max() + 8
+
+    def test_grouped_middle_matches_ungrouped(self):
+        """SparseMiddle keymatch_group=True is numerically identical to
+        the per-tap subwindow path through a 2-block stack."""
+        from automatic_as_built_reconstruction_tpu.models.middle import (
+            SparseMiddle)
+        rng = np.random.default_rng(16)
+        B, V = 2, 96
+        D, H, W = 8, 16, 16
+        coords = np.full((B, V, 3), -1, np.int32)
+        feats = np.zeros((B, V, 4), np.float32)
+        for b in range(B):
+            n = 48
+            lin = rng.choice(D * H * W, n, replace=False)
+            zyx = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+            key = (zyx[:, 1] * W + zyx[:, 2]) * D + zyx[:, 0]
+            coords[b, :n] = zyx[np.argsort(key)]
+            feats[b, :n] = rng.normal(size=(n, 4))
+        kw = dict(grid_dhw=(D, H, W), num_input_features=4,
+                  num_filters=(8, 16), layers_per_block=(1, 1),
+                  z_strides=(2, 2), xy_strides=(2, 2),
+                  use_pallas_gemm=True, use_keymatch=True, pallas_tile=8,
+                  pallas_window=96, keymatch_subwindow=96)
+        m_flat = SparseMiddle(**kw)
+        m_grp = SparseMiddle(keymatch_group=True, **kw)
+        fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+        variables = m_flat.init(jax.random.key(0), fj, cj)
+        ref = m_flat.apply(variables, fj, cj)
+        out = m_grp.apply(variables, fj, cj)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-4)
