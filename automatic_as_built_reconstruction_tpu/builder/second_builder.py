@@ -27,6 +27,36 @@ def feature_map_size_from(model_cfg, grid_size) -> Tuple[int, int, int]:
     return (1, gy // df, gx // df)
 
 
+def _sparse_window_kwargs(mid) -> dict:
+    """Measured per-block (subm, strided) Pallas window / subwindow
+    pairs + grouped-tap flag from the MiddleFeatureExtractor message
+    (performance-only: over-span joins route to the exact XLA
+    fallback).  Empty fields keep the VoxelNetConfig defaults."""
+    out = {}
+    ws, wt = list(mid.pallas_window_subm), list(mid.pallas_window_strided)
+    if ws and wt:
+        if len(ws) != len(wt):
+            raise ValueError(
+                f"pallas_window_subm has {len(ws)} entries but "
+                f"pallas_window_strided has {len(wt)} — one pair per "
+                f"middle block")
+        out["sparse_pallas_window"] = tuple(
+            (int(a), int(b)) for a, b in zip(ws, wt))
+    ss, st = (list(mid.keymatch_subwindow_subm),
+              list(mid.keymatch_subwindow_strided))
+    if ss and st:
+        if len(ss) != len(st):
+            raise ValueError(
+                f"keymatch_subwindow_subm has {len(ss)} entries but "
+                f"keymatch_subwindow_strided has {len(st)} — one pair "
+                f"per middle block")
+        out["sparse_keymatch_subwindow"] = tuple(
+            (int(a), int(b)) for a, b in zip(ss, st))
+    if mid.keymatch_group_taps:
+        out["sparse_keymatch_group"] = True
+    return out
+
+
 def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
     grid_size = voxel_generator.grid_size  # (gx, gy, gz)
     loss = losses_builder.build(model_cfg.loss)
@@ -81,6 +111,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
         sparse_out_caps=(tuple(int(c) for c in mid.out_site_caps)
                          or None),
         sparse_dense_tail_blocks=int(mid.dense_tail_blocks),
+        **_sparse_window_kwargs(mid),
         middle_num_filters=middle_filters,
         middle_layers_per_block=middle_layers,
         middle_z_strides=middle_z,

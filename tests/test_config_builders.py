@@ -176,3 +176,31 @@ class TestSecondConfigs:
         assigner = target_assigner_builder.build(m.target_assigner, coder)
         _, cfg, _ = second_builder.build(m, gen, assigner)
         assert cfg.sparse_dense_tail_blocks == 2
+
+    def test_serving_window_fields_wired(self):
+        """car.fhd.serving.config's measured Pallas window / subwindow
+        pairs and grouped-tap flag reach VoxelNetConfig."""
+        cfg = builder.load_config(
+            CONFIG_DIR / "second/car/car.fhd.serving.config")
+        m = cfg.model.second
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        _, vcfg, _ = second_builder.build(m, gen, assigner)
+        assert vcfg.sparse_keymatch and vcfg.sparse_keymatch_group
+        assert vcfg.sparse_dense_tail_blocks == 1
+        assert vcfg.sparse_pallas_window == (
+            (512, 384), (768, 768), (1024, 1536), (1024, 512))
+        assert vcfg.sparse_keymatch_subwindow == (
+            (384, 256), (512, 512), (512, 1024), (512, 512))
+        assert vcfg.sparse_out_caps == (52096, 61184, 40320, 35328)
+
+    def test_window_pair_length_mismatch_raises(self, pp_cfg):
+        m = pp_cfg.model.second
+        m.middle_feature_extractor.pallas_window_subm.extend([512, 768])
+        m.middle_feature_extractor.pallas_window_strided.extend([384])
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        with pytest.raises(ValueError, match="one pair per"):
+            second_builder.build(m, gen, assigner)
