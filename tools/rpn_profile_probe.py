@@ -47,8 +47,12 @@ def main():
     def emit(rec):
         print(json.dumps(rec), flush=True)
 
-    # --- full RPN (reference point)
-    rpn = RPN(dtype=dt)
+    # --- full RPN (reference point) — flagship pillar config
+    # (__graft_entry__._flagship_cfg): filters (64,128,256), upsample
+    # filters (128,128,128) -> 384-ch concat
+    FILTERS = (64, 128, 256)
+    UPF = (128, 128, 128)
+    rpn = RPN(num_filters=FILTERS, num_upsample_filters=UPF, dtype=dt)
     vars_rpn = rpn.init(rng, x0, train=False)
 
     def stage_rpn(i, x):
@@ -62,7 +66,7 @@ def main():
 
     # --- backbone blocks only
     blocks = [ConvBlock(f, n, 2, dtype=dt)
-              for n, f in zip((3, 5, 5), (128, 128, 256))]
+              for n, f in zip((3, 5, 5), FILTERS)]
     bvars, xs = [], []
     x = x0
     for blk in blocks:
@@ -86,7 +90,7 @@ def main():
     shapes = [tuple(blk.apply(v, xi, train=False).shape)
               for blk, v, xi in zip(blocks, bvars, xs)]
     for i, (s, up_s) in enumerate(zip(shapes, (1, 2, 4))):
-        up = Upsample(256, up_s, dtype=dt)
+        up = Upsample(UPF[i], up_s, dtype=dt)
         xi = jax.random.normal(rng, s, dt)
         uv = up.init(rng, xi, train=False)
 
@@ -103,7 +107,7 @@ def main():
     # --- heads on the concatenated map
     import flax.linen as nn
 
-    xcat = jax.random.normal(rng, (B, H // 2, W // 2, 768), dt)
+    xcat = jax.random.normal(rng, (B, H // 2, W // 2, sum(UPF)), dt)
     head = nn.Conv(2 * 7 + 2 * 1 + 2 * 2, (1, 1), dtype=dt)
     hv = head.init(rng, xcat)
 
