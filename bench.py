@@ -551,8 +551,17 @@ def bench_second_fhd(jax, jnp, host_sps: float | None = None) -> dict:
     model = VoxelNet(cfg=vcfg)
     anchors = jnp.asarray(anchors_np)
     anchors_b = jnp.broadcast_to(anchors, (B,) + anchors.shape)
-    variables = model.init(jax.random.key(0), vox0.voxels[:1, :64],
-                           vox0.num_points[:1, :64], vox0.coords[:1, :64])
+    # Init through a TINY-caps twin config: parameter/BN shapes depend
+    # only on channel widths, never on the static site capacities, and
+    # initializing at the honest 52k+ caps would run the full middle as
+    # one multi-second device dispatch — the dispatch profile that
+    # crashes/wedges the axon relay (observed hanging this exact init).
+    vcfg_init = dataclasses.replace(
+        vcfg, sparse_out_caps=tuple(256 for _ in s["site_caps"]),
+        sparse_pallas_window=256, sparse_use_pallas_gemm=False)
+    variables = VoxelNet(cfg=vcfg_init).init(
+        jax.random.key(0), vox0.voxels[:1, :64],
+        vox0.num_points[:1, :64], vox0.coords[:1, :64])
 
     def stage_vox(i, pts0):
         r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
