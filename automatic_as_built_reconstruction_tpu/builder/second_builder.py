@@ -158,6 +158,7 @@ def build(model_cfg: "second_pb2.VoxelNet", voxel_generator, target_assigner):
             for c in model_cfg.yaw_point_refine_classes
             if c in target_assigner.classes),
         yaw_point_refine_recenter=model_cfg.yaw_point_refine_recenter,
+        yaw_point_refine_trim=model_cfg.yaw_point_refine_trim,
     )
     model = VoxelNet(cfg=cfg)
     fmap = feature_map_size_from(model_cfg, grid_size)

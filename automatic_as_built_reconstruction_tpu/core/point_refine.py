@@ -22,6 +22,10 @@ import numpy as np
 
 from .box_ops import points_in_rbbox
 
+# length-trim guard: largest relative length change the point evidence
+# may commit; the measuring slab (and the local crop) extend 2x past it
+TRIM_MAX_REL = 0.35
+
 
 def _crop(points: np.ndarray, box: np.ndarray, pad: float) -> np.ndarray:
     """Points within an axis-aligned BEV disc + z slab around ``box``."""
@@ -75,6 +79,44 @@ def _slab_recenter(local, box, thickness, min_points):
     return out
 
 
+def _slab_length_trim(local, box, thickness, min_points, *,
+                      margin: float = 0.06,
+                      max_rel_change: float = TRIM_MAX_REL,
+                      pctile: float = 1.5):
+    """Trim the box length (and slide its centre along the element) to
+    the supporting plane's measured extent.
+
+    Wall detections inherit their length from anchor priors plus
+    regression; the point evidence bounds the real span directly.  The
+    extent is a percentile span (robust to stray clutter points), padded
+    by ``margin`` on each end; a change beyond ``max_rel_change`` of the
+    current length is rejected as evidence/detection mismatch (e.g. two
+    collinear walls sharing one slab under heavy occlusion)."""
+    slab = box.copy()
+    slab[3] = max(box[3], thickness)
+    # inflate the measuring slab WELL past the current endpoints (2x the
+    # accept threshold): evidence just outside the detection must be
+    # visible to recover a slid/short box, while a span that still hits
+    # the inflated clip reads as ambiguous and fails the guard below
+    slab[4] = box[4] * (1 + 2 * max_rel_change) + 2 * margin
+    inside = local[points_in_rbbox(local, slab[None])[:, 0]]
+    if len(inside) < min_points:
+        return box
+    lx, ly = -np.sin(box[6]), np.cos(box[6])     # element (l-axis) dir
+    t = (inside[:, 0] - box[0]) * lx + (inside[:, 1] - box[1]) * ly
+    lo = float(np.percentile(t, pctile))
+    hi = float(np.percentile(t, 100.0 - pctile))
+    new_len = (hi - lo) + 2 * margin
+    if abs(new_len - box[4]) > max_rel_change * max(box[4], 1e-6):
+        return box
+    out = box.copy()
+    out[4] = new_len
+    mid = 0.5 * (lo + hi)
+    out[0] += mid * lx
+    out[1] += mid * ly
+    return out
+
+
 def refine_yaw_by_points(
         points: np.ndarray,
         boxes: np.ndarray,
@@ -87,7 +129,8 @@ def refine_yaw_by_points(
         min_thickness: float = 0.12,
         min_points: int = 8,
         keep_margin: float = 1.05,
-        recenter: bool = False) -> np.ndarray:
+        recenter: bool = False,
+        trim_length: bool = False) -> np.ndarray:
     """Snap thin boxes' yaw to the orientation that captures most points.
 
     Three alternating passes per detection whose label is in ``classes``
@@ -121,7 +164,12 @@ def refine_yaw_by_points(
         if int(labels[i]) not in cls:
             continue
         box = boxes[i]
-        local = _crop(pts, box, pad=0.25)
+        # the trim slab reaches up to TRIM_MAX_REL of the length past
+        # each endpoint — the crop disc must cover it or the clipped
+        # evidence reads as a small span and defeats the change guard
+        pad = 0.25 + (TRIM_MAX_REL * box[4] + 0.12 if trim_length
+                      else 0.0)
+        local = _crop(pts, box, pad=pad)
         if len(local) < min_points:
             continue
         # original-pose support at the tight slab — the bar to beat
@@ -137,14 +185,27 @@ def refine_yaw_by_points(
         counts = _yaw_grid_count(local, cand, fine, min_thickness)
         best = _best_delta(fine, counts)
         cand[6] += fine[best]
-        if counts[best] < min_points or \
-                counts[best] <= keep_margin * max(orig_count, 1):
-            continue
-        boxes[i, 6] = cand[6]
-        if recenter:
-            cand = _slab_recenter(local, cand, min_thickness, min_points)
+        committed = not (counts[best] < min_points
+                         or counts[best] <= keep_margin
+                         * max(orig_count, 1))
+        if committed:
+            boxes[i, 6] = cand[6]
+            if recenter:
+                cand = _slab_recenter(local, cand, min_thickness,
+                                      min_points)
+                boxes[i, 0] = cand[0]
+                boxes[i, 1] = cand[1]
+        else:
+            # yaw stays — but the length evidence below is still valid
+            # for the original pose (a wall with correct yaw and wrong
+            # regressed length must not be skipped by the yaw guard)
+            cand = box.copy()
+        if trim_length:
+            cand = _slab_length_trim(local, cand, min_thickness,
+                                     min_points)
             boxes[i, 0] = cand[0]
             boxes[i, 1] = cand[1]
+            boxes[i, 4] = cand[4]
     return boxes
 
 

@@ -149,6 +149,7 @@ class VoxelNetConfig:
     # (core.point_refine) — runs OUTSIDE the jit program
     yaw_point_refine_classes: tuple = ()
     yaw_point_refine_recenter: bool = False
+    yaw_point_refine_trim: bool = False
     pos_cls_weight: float = 1.0
     neg_cls_weight: float = 1.0
     focal_gamma: float = 2.0

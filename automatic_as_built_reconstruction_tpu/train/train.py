@@ -553,7 +553,8 @@ def evaluate(config_path, model_dir, *, ckpt_step: Optional[int] = None,
                 dataset.get_sensor_data(i)["lidar"]["points"])
             detections[i] = point_refine.refine_detections(
                 detections[i], pts, classes=refine_cls,
-                recenter=bundle.model_cfg.yaw_point_refine_recenter)
+                recenter=bundle.model_cfg.yaw_point_refine_recenter,
+                trim_length=bundle.model_cfg.yaw_point_refine_trim)
     result = dataset.evaluation(detections[:n], output_dir=output_dir)
     return result
 

@@ -2,11 +2,16 @@
 
 The round-3 driver run produced BENCH_r03.json rc=124 parsed=null: the
 bench printed nothing parseable before the kill.  bench.py now (a)
-persists each completed run's measured headline into bench_cache.json
-(``last_headline``) and (b) re-prints it FIRST on the next run, before
-any device work, labeled ``cached_headline: true`` — so a timeout can
-never again yield a null record while a prior measurement exists.  These
-tests cover the pure-python mechanics without touching a device.
+persists each completed run's pillar-measured headline into an
+UNCOMMITTED sidecar file (``.bench_last_headline.json`` — a fresh
+checkout must not replay another machine's number) and (b) re-prints it
+FIRST on the next run, before any device work, labeled
+``cached_headline: true`` — so a timeout can never again yield a null
+record while a prior measurement exists.  Per ADVICE r4, the label must
+survive onto EVERY emission until a live pillar measurement lands, and
+only live pillar measurements (with error extras stripped) may be
+persisted.  These tests cover the pure-python mechanics without
+touching a device.
 """
 import importlib
 import json
@@ -16,23 +21,29 @@ import pathlib
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def _fresh_bench(tmp_path, monkeypatch, cache: dict | None):
+def _fresh_bench(tmp_path, monkeypatch, cache: dict | None,
+                 headline: dict | None = None):
     sys.path.insert(0, str(REPO))
     import bench
     importlib.reload(bench)
+    # the reload re-reads ABR_BENCH_SMOKE from the environment; these
+    # tests exercise the real (non-smoke) emission/persistence paths
+    monkeypatch.setattr(bench, "SMOKE", False)
     cache_path = tmp_path / "bench_cache.json"
+    headline_path = tmp_path / "last_headline.json"
     if cache is not None:
         cache_path.write_text(json.dumps(cache))
+    if headline is not None:
+        headline_path.write_text(json.dumps(headline))
     monkeypatch.setattr(bench, "CACHE_PATH", cache_path)
-    return bench, cache_path
+    monkeypatch.setattr(bench, "HEADLINE_PATH", headline_path)
+    return bench, cache_path, headline_path
 
 
 def test_cached_headline_emitted(tmp_path, monkeypatch, capsys):
-    bench, _ = _fresh_bench(tmp_path, monkeypatch, {
-        "params": {"tile": 256},
-        "last_headline": {"value": 254.83,
-                          "extra": {"pillar_mfu": 0.0914},
-                          "measured_at_unix": 1760000000}})
+    bench, _, _ = _fresh_bench(tmp_path, monkeypatch, None, headline={
+        "value": 254.83, "extra": {"pillar_mfu": 0.0914},
+        "measured_at_unix": 1760000000})
     assert bench._emit_cached_headline()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
@@ -44,35 +55,81 @@ def test_cached_headline_emitted(tmp_path, monkeypatch, capsys):
     assert rec["vs_baseline"] > 0
 
 
+def test_legacy_cache_key_still_read(tmp_path, monkeypatch, capsys):
+    # pre-r5 runs stored last_headline inside bench_cache.json
+    bench, _, _ = _fresh_bench(tmp_path, monkeypatch, {
+        "params": {"tile": 256},
+        "last_headline": {"value": 100.0, "extra": {},
+                          "measured_at_unix": 5}})
+    assert bench._emit_cached_headline() == 100.0
+
+
 def test_no_cache_no_emit(tmp_path, monkeypatch, capsys):
-    bench, _ = _fresh_bench(tmp_path, monkeypatch, None)
+    bench, _, _ = _fresh_bench(tmp_path, monkeypatch, None)
     assert not bench._emit_cached_headline()
     assert capsys.readouterr().out.strip() == ""
     # zero/absent value never emits
-    bench2, _ = _fresh_bench(tmp_path, monkeypatch,
-                             {"last_headline": {"value": 0.0}})
+    bench2, _, _ = _fresh_bench(tmp_path, monkeypatch, None,
+                                headline={"value": 0.0})
     assert not bench2._emit_cached_headline()
 
 
-def test_emit_records_last_headline(tmp_path, monkeypatch, capsys):
-    bench, cache_path = _fresh_bench(tmp_path, monkeypatch, None)
-    bench._emit(123.4, {"pillar_mfu": 0.08})
+def test_seeded_reemission_keeps_cached_label(tmp_path, monkeypatch, capsys):
+    """ADVICE r4 (high): until a live pillar measurement lands, every
+    emission — including error-path re-emissions of the cached seed —
+    must carry cached_headline=true."""
+    bench, _, _ = _fresh_bench(tmp_path, monkeypatch, None, headline={
+        "value": 254.83, "extra": {}, "measured_at_unix": 7})
+    seed = bench._emit_cached_headline()
+    bench._emit(seed, {"pillar_error": "boom"})   # pillar failed
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["value"] == 254.83
+    assert rec["extra"]["cached_headline"] is True
+    assert rec["extra"]["measured_at_unix"] == 7
+    # and the stale value must NOT be re-persisted as a live record
+    bench._store_last_headline()
+    assert not bench._LAST_HEADLINE
+
+
+def test_live_measurement_drops_label_and_persists(tmp_path, monkeypatch,
+                                                   capsys):
+    bench, _, headline_path = _fresh_bench(
+        tmp_path, monkeypatch, None,
+        headline={"value": 254.83, "extra": {}, "measured_at_unix": 7})
+    bench._emit_cached_headline()
+    bench._mark_live()
+    bench._emit(300.5, {"pillar_flat_scans_per_sec": 300.5,
+                        "second_fhd_error": "later section died"})
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["value"] == 300.5
+    assert "cached_headline" not in rec["extra"]
+    bench._store_last_headline()
+    stored = json.loads(headline_path.read_text())
+    assert stored["value"] == 300.5
+    # error extras are stripped from the persisted record (ADVICE r4
+    # medium: staleness/error noise must not be laundered across runs)
+    assert "second_fhd_error" not in stored["extra"]
+    assert stored["measured_at_unix"] == bench._LIVE["ts"]
+
+
+def test_no_live_no_persist(tmp_path, monkeypatch, capsys):
+    """A run where pillar never measures (even if FHD sections emitted)
+    must not rewrite the stored headline."""
+    bench, _, headline_path = _fresh_bench(tmp_path, monkeypatch, None)
+    bench._emit(42.0, {"second_fhd_scans_per_sec": 42.0})
     capsys.readouterr()
-    assert bench._LAST_HEADLINE["value"] == 123.4
-    assert bench._LAST_HEADLINE["extra"]["pillar_mfu"] == 0.08
-    # the end-of-main persistence path
-    bench._cache_update(last_headline={**bench._LAST_HEADLINE,
-                                       "measured_at_unix": 1})
-    stored = json.loads(cache_path.read_text())["last_headline"]
-    assert stored["value"] == 123.4
+    bench._store_last_headline()
+    assert not headline_path.exists()
 
 
-def test_cache_store_preserves_last_headline(tmp_path, monkeypatch):
-    bench, cache_path = _fresh_bench(tmp_path, monkeypatch, {
+def test_cache_store_no_longer_carries_headline(tmp_path, monkeypatch):
+    bench, cache_path, _ = _fresh_bench(tmp_path, monkeypatch, {
         "params": {"old": 1},
         "last_headline": {"value": 9.9, "extra": {}}})
     bench._cache_store({"new": 2}, {"pallas_window": 512})
     data = json.loads(cache_path.read_text())
     assert data["params"] == {"new": 2}
     assert data["pallas_window"] == 512
-    assert data["last_headline"]["value"] == 9.9
+    assert "last_headline" not in data
