@@ -109,9 +109,32 @@ def make_mesh(num_devices: Optional[int]) -> Optional[Mesh]:
 def _to_device(batch: Dict[str, np.ndarray],
                mesh: Optional[Mesh] = None) -> Dict[str, jnp.ndarray]:
     if mesh is None:
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: _put_static(k, v) if k in _STATIC_BATCH_KEYS
+                else jnp.asarray(v) for k, v in batch.items()}
     sh = NamedSharding(mesh, P("data"))
     return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+
+
+# Keys whose value is a run constant (the anchor grid comes from the
+# input reader's anchor_cache — identical rows every step).  Shipping
+# them per step costs ~2 MB/example of H2D transfer AND, through the
+# axon relay, leaks those bytes into host RSS every step (the r4b
+# steps/s decay).  Cache the device array keyed by (shape, first-row
+# checksum) and re-verify cheaply against a fixed row sample.
+_STATIC_BATCH_KEYS = ("anchors",)
+_STATIC_DEVICE_CACHE: Dict = {}
+
+
+def _put_static(key, value):
+    v = np.asarray(value)
+    sig = (key, v.shape, v.dtype.str, float(v.reshape(-1)[:: max(
+        v.size // 64, 1)].astype(np.float64).sum()))
+    hit = _STATIC_DEVICE_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    arr = jnp.asarray(v)
+    _STATIC_DEVICE_CACHE[key] = (sig, arr)
+    return arr
 
 
 def init_state(bundle: Bundle, rng_seed: int = 0, example=None,

@@ -126,6 +126,11 @@ def main():
                     help="run the last N middle blocks as masked dense "
                          "convs (DESIGN.md sec. 16)")
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--eval_at", default="",
+                    help="comma-separated step milestones at which to run "
+                         "a full devkit-protocol eval mid-training (e.g. "
+                         "8000,12000); each runs once, in its own "
+                         "process, right after the chunk that crosses it")
     args = ap.parse_args()
 
     model_dir = pathlib.Path(args.model_dir)
@@ -160,6 +165,14 @@ def main():
                              if p.name.isdigit()]
             if steps_on_disk:
                 done = max(steps_on_disk)
+        milestones = sorted(int(s) for s in args.eval_at.split(",") if s)
+        # milestone evals already done (marker files survive supervisor
+        # restarts — each milestone evaluates exactly once)
+        def _pending(step):
+            return [m for m in milestones
+                    if m <= step
+                    and not (model_dir / f"eval_at_{m}.done").exists()]
+
         upto = (done // args.chunk + 1) * args.chunk
         while upto < args.steps + args.chunk:
             target = min(upto, args.steps)
@@ -168,6 +181,12 @@ def main():
             if rc != 0:
                 print(f"chunk exited rc={rc}; stopping")
                 return rc
+            for m in _pending(target):
+                print(f"=== milestone eval at step {m} "
+                      f"(ckpt {target}) ===", flush=True)
+                if run_eval(cfg_path, model_dir) == 0:
+                    (model_dir / f"eval_at_{m}.done").write_text(
+                        f"evaluated at ckpt step {target}\n")
             if target == args.steps:
                 break
             upto += args.chunk
