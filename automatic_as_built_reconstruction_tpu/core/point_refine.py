@@ -96,22 +96,84 @@ def _slab_length_trim(local, box, thickness, min_points, *,
     slab[3] = max(box[3], thickness)
     # inflate the measuring slab WELL past the current endpoints (2x the
     # accept threshold): evidence just outside the detection must be
-    # visible to recover a slid/short box, while a span that still hits
-    # the inflated clip reads as ambiguous and fails the guard below
+    # visible to recover a slid/short box
     slab[4] = box[4] * (1 + 2 * max_rel_change) + 2 * margin
     inside = local[points_in_rbbox(local, slab[None])[:, 0]]
     if len(inside) < min_points:
         return box
     lx, ly = -np.sin(box[6]), np.cos(box[6])     # element (l-axis) dir
     t = (inside[:, 0] - box[0]) * lx + (inside[:, 1] - box[1]) * ly
-    lo = float(np.percentile(t, pctile))
-    hi = float(np.percentile(t, 100.0 - pctile))
-    new_len = (hi - lo) + 2 * margin
-    if abs(new_len - box[4]) > max_rel_change * max(box[4], 1e-6):
+    # Walls come in COLLINEAR runs separated by door openings: a global
+    # percentile span would jump the opening onto the neighbouring
+    # segment.  The opening usually holds a door LEAF (points in the
+    # wall plane!), so plain occupancy cannot see it — but there is no
+    # header above a door, so the opening's bins top out at the door
+    # height while true wall bins reach the wall top.  A bin is
+    # same-element iff occupied AND its max z reaches near the box top;
+    # the kept run is the contiguous same-element stretch containing
+    # the detection centre (ends at >= gap_bins consecutive non-wall
+    # bins — a door is ~6 bins, point dropout never fails 2).
+    bin_w, gap_bins = 0.15, 2
+    half = slab[4] / 2
+    nb = max(int(np.ceil(2 * half / bin_w)), 1)
+    bins = np.clip(((t + half) / bin_w).astype(int), 0, nb - 1)
+    occ_n = np.bincount(bins, minlength=nb)
+    zmax = np.full(nb, -np.inf)
+    np.maximum.at(zmax, bins, inside[:, 2])
+    z_top = box[2] + box[5]
+    occ = (occ_n > 0) & (zmax >= z_top - 0.35)
+    c = min(int(half / bin_w), nb - 1)
+    if not occ[c]:
+        near = np.flatnonzero(occ)
+        if near.size == 0:
+            return box
+        c = int(near[np.argmin(np.abs(near - c))])
+    lo_b, lo_gap = c, False
+    empty = 0
+    for b in range(c - 1, -1, -1):
+        empty = 0 if occ[b] else empty + 1
+        if empty >= gap_bins:
+            lo_gap = True
+            break
+        if occ[b]:
+            lo_b = b
+    hi_b, hi_gap = c, False
+    empty = 0
+    for b in range(c + 1, nb):
+        empty = 0 if occ[b] else empty + 1
+        if empty >= gap_bins:
+            hi_gap = True
+            break
+        if occ[b]:
+            hi_b = b
+    run = (t >= lo_b * bin_w - half) & (t < (hi_b + 1) * bin_w - half)
+    if run.sum() < min_points:
+        return box
+    tr = t[run]
+    # Each endpoint moves INDEPENDENTLY, and only when its run end is
+    # evidenced by a real gap (door jamb / free end).  An end that ran
+    # into the slab clip has no evidence there — a seamless collinear
+    # continuation (wall segments are an annotation convention, not a
+    # physical boundary) — so that endpoint stays where the detector
+    # put it.
+    old_lo, old_hi = -box[4] / 2, box[4] / 2
+    ev_lo = float(np.percentile(tr, pctile)) - margin
+    ev_hi = float(np.percentile(tr, 100.0 - pctile)) + margin
+    if lo_gap and hi_gap:            # both ends evidenced: full trim
+        new_lo, new_hi = ev_lo, ev_hi
+    elif lo_gap:                     # one end: snap to it, keep length
+        new_lo, new_hi = ev_lo, ev_lo + box[4]
+    elif hi_gap:
+        new_lo, new_hi = ev_hi - box[4], ev_hi
+    else:                            # seamless both ways: no evidence
+        return box
+    lim = max_rel_change * max(box[4], 1e-6)
+    if abs(new_lo - old_lo) > lim or abs(new_hi - old_hi) > lim \
+            or new_hi - new_lo < 2 * margin:
         return box
     out = box.copy()
-    out[4] = new_len
-    mid = 0.5 * (lo + hi)
+    out[4] = new_hi - new_lo
+    mid = 0.5 * (new_lo + new_hi)
     out[0] += mid * lx
     out[1] += mid * ly
     return out

@@ -193,9 +193,71 @@ def probe_pillar(jax, jnp, batches):
             _emit({"probe": "pillar", "batch": B, "error": repr(e)[:200]})
 
 
+def probe_modes(jax, jnp, tiles, dense_tail=1):
+    """Grouped-tap + dense-tail serving pipeline at alternative output
+    tiles, with the FULL window/subwindow/group autotune pairs from
+    tools/tile128_prep.py (artifacts/keymatch_tile_pairs.json) — the
+    end-to-end measurement of span_analysis' tile-shrink prediction
+    (463 -> 335 one-hot GMACs at tile 128 on bench scenes)."""
+    import json as _json
+
+    import bench
+    from automatic_as_built_reconstruction_tpu.models import (
+        voxelnet as voxelnet_mod)
+
+    pairs = _json.loads(
+        (REPO / "artifacts" / "keymatch_tile_pairs.json").read_text())
+    s = bench._fhd_setup(jax, jnp)
+    vcfg, B = s["vcfg"], s["B"]
+    anchors = jnp.asarray(s["anchors_np"])
+    anchors_b = jnp.broadcast_to(anchors, (B,) + anchors.shape)
+    vox0, voxelize, num_valid = s["vox0"], s["voxelize"], s["num_valid"]
+    pts = jnp.asarray(s["base"])
+
+    model0 = s["VoxelNet"](cfg=s["vcfg"])
+    variables = model0.init(jax.random.key(0), vox0.voxels[:1, :64],
+                            vox0.num_points[:1, :64], vox0.coords[:1, :64])
+
+    for tile in tiles:
+        p = pairs[str(tile)]
+        vcfg_t = dataclasses.replace(
+            vcfg, sparse_keymatch=True, sparse_keymatch_group=True,
+            sparse_pallas_tile=int(tile),
+            sparse_pallas_window=tuple(tuple(int(w) for w in q)
+                                       for q in p["win"]),
+            sparse_keymatch_subwindow=tuple(tuple(int(w) for w in q)
+                                            for q in p["grp"]),
+            sparse_dense_tail_blocks=dense_tail)
+        model = s["VoxelNet"](cfg=vcfg_t)
+
+        def stage_full(i, pts0, model=model, vcfg_t=vcfg_t):
+            r = jax.vmap(voxelize)(pts0 + 0.013 * (i + 1.0), num_valid)
+            preds = model.apply(variables, r.voxels, r.num_points,
+                                r.coords, train=False)
+            det = voxelnet_mod.predict(preds, anchors_b, vcfg_t)
+            return (jnp.sum(det["box3d_lidar"]
+                            * det["valid"][..., None]).astype(jnp.float32)
+                    + jnp.sum(det["scores"]))
+
+        bench._progress(f"modes probe: tile={tile} grouped+dt{dense_tail}")
+        try:
+            dt = bench._loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
+            _emit({"probe": "modes", "tile": int(tile),
+                   "dense_tail_blocks": dense_tail, "grouped": True,
+                   "scans_per_sec": round(B / dt, 2),
+                   "ms_per_scan": round(dt / B * 1e3, 2)})
+        except Exception as e:
+            _emit({"probe": "modes", "tile": int(tile),
+                   "error": repr(e)[:200]})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fhd", action="store_true")
+    ap.add_argument("--modes", default="",
+                    help="comma-separated tiles for the grouped+dense-"
+                         "tail probe (pairs from tile128_prep.py), "
+                         "e.g. '128,192'")
     ap.add_argument("--pillar", action="store_true")
     ap.add_argument("--tails", default="0,1,2,3")
     ap.add_argument("--batches", default="8,16,32")
@@ -215,6 +277,9 @@ def main():
     if args.fhd:
         probe_fhd(jax, jnp,
                   [int(t) for t in args.tails.split(",") if t != ""])
+    if args.modes:
+        probe_modes(jax, jnp,
+                    [int(t) for t in args.modes.split(",") if t != ""])
     if args.tile_configs:
         cfgs = []
         for entry in args.tile_configs.split(";"):

@@ -13,6 +13,7 @@ LOG=${LOG:-/root/repo/artifacts/kitti_rehearsal_r5.log}
 DATA=${DATA:-/tmp/synth_kitti}
 RUN=${RUN:-/tmp/kitti_fhd_r5}
 STEPS=${STEPS:-9000}
+CHUNK=${CHUNK:-400}
 EVAL_AT=${EVAL_AT:-6000,9000}
 DEADLINE_UNIX=${DEADLINE_UNIX:-0}
 MULTICLASS=${MULTICLASS:-}
@@ -37,7 +38,7 @@ for attempt in $(seq 1 60); do
   before=$(ckpt_step); before=${before:-0}
   echo "=== supervisor attempt $attempt (ckpt at step $before, $(date +%H:%M:%S)) ===" >> "$LOG"
   python tools/kitti_rehearsal.py --data_root "$DATA" --model_dir "$RUN" \
-      --steps "$STEPS" --chunk 400 --batch_size 3 \
+      --steps "$STEPS" --chunk "$CHUNK" --batch_size 3 \
       --keymatch --dense_tail 1 --eval_at "$EVAL_AT" "$@" >> "$LOG" 2>&1
   rc=$?
   if [ "$rc" -eq 0 ]; then
