@@ -119,6 +119,66 @@ def main():
     t = bench._loop_delta(jax, jnp, stage_heads, (xcat,), 2, 6)
     emit({"probe": "rpn_heads", "ms_per_batch": round(t * 1e3, 3)})
 
+    probe_pfn(jax, jnp, emit)
+
 
 if __name__ == "__main__":
     main()
+
+
+def probe_pfn(jax, jnp, emit):
+    """Flat-path PFN + scatter breakdown on the flagship pillar config.
+
+    The r5 stage split (bench_r5a) puts the network stage at 2.28
+    ms/scan of which the RPN probe accounts 0.81 — this times the
+    remaining PFN (segment ops) and scatter (Pallas one-hot canvas)
+    stages via return_stages + XLA dead-code elimination."""
+    import bench
+    from __graft_entry__ import _flagship_cfg
+    from automatic_as_built_reconstruction_tpu.models.voxelnet import (
+        VoxelNet)
+    from automatic_as_built_reconstruction_tpu.ops import voxelize_jax
+
+    cfg = _flagship_cfg()
+    model = VoxelNet(cfg=cfg)
+    B, MAX_VOXELS, MAX_PPV = 8, 12000, 32
+    n_pts = bench.NUM_POINTS
+    base = np.stack([bench.make_scene(b, n_pts) for b in range(B)])
+    num_valid = jnp.full((B,), n_pts, jnp.int32)
+    voxelize_flat = jax.vmap(
+        lambda p, n: voxelize_jax.voxelize_flat(
+            p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+            grid_size=cfg.grid_size, max_points=MAX_PPV,
+            max_voxels=MAX_VOXELS, first_appearance=False))
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 64, MAX_PPV, base.shape[-1]), jnp.float32),
+        jnp.zeros((1, 64), jnp.int32),
+        jnp.full((1, 64, 3), -1, jnp.int32))
+    pts = jnp.asarray(base)
+
+    def cut(which):
+        def stage(i, pts0):
+            r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
+            preds, stages = model.apply(
+                variables, None, r.num_points, r.coords, train=False,
+                flat_points=r.points, flat_slot=r.slot,
+                flat_slots_sorted=True, return_stages=True)
+            if which == "vfe":
+                return jnp.sum(stages["voxel_features"]
+                               .astype(jnp.float32))
+            if which == "scatter":
+                return jnp.sum(stages["spatial_features"]
+                               .astype(jnp.float32))
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in preds.values())
+        return stage
+
+    prev = 0.0
+    for which in ("vfe", "scatter", "net"):
+        bench._progress(f"pfn probe: cut={which}")
+        t = bench._loop_delta(jax, jnp, cut(which), (pts,), 1, 3)
+        emit({"probe": f"pfn_cut_{which}",
+              "ms_per_scan_cum": round(t / B * 1e3, 3),
+              "ms_per_scan_delta": round((t - prev) / B * 1e3, 3)})
+        prev = t
