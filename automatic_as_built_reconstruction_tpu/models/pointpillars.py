@@ -52,6 +52,13 @@ class PillarFeatureNet(nn.Module):
     pc_range: Tuple[float, float] = (0.0, -40.0)  # (x0, y0)
     radius: bool = False
     dtype: type = jnp.float32
+    # flat mode only: compute the per-pillar mean/max with sorted-run
+    # boundary arithmetic (cumsum diff + segmented scan) instead of
+    # jax.ops.segment_*.  XLA lowers segment ops to scatters, which
+    # serialize row-by-row through HBM on TPU (docs/DESIGN.md sec. 2);
+    # with ``flat_slots_sorted`` every pillar's points are one
+    # contiguous run, so both reductions are O(P) vector code.
+    segment_scan: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, *, train: bool = False,
@@ -123,13 +130,28 @@ class PillarFeatureNet(nn.Module):
         dt = points.dtype
         pvalid = slot < V
 
+        use_scan = self.segment_scan and sorted_
         # per-pillar mean of the T-capped points, gathered back per point
-        def seg_sum(x, s):
-            return jax.ops.segment_sum(x, s, num_segments=V + 1,
-                                       indices_are_sorted=sorted_)
+        if use_scan:
+            # slots sorted -> each pillar is one contiguous run; the
+            # run sum is a cumsum difference at searchsorted boundaries
+            # (no scatter anywhere)
+            def seg_sum(x, s):
+                cs = jnp.concatenate(
+                    [jnp.zeros((1, x.shape[-1]), x.dtype),
+                     jnp.cumsum(x, axis=0)], axis=0)
+                sidx = jnp.arange(V)
+                starts = jnp.searchsorted(s, sidx, side="left")
+                ends = jnp.searchsorted(s, sidx, side="right")
+                return cs[ends] - cs[starts]                   # [V, C]
+        else:
+            def seg_sum(x, s):
+                return jax.ops.segment_sum(
+                    x, s, num_segments=V + 1,
+                    indices_are_sorted=sorted_)[:V]
 
         xyz = jnp.where(pvalid[..., None], points[..., :3], 0.0)
-        means = jax.vmap(seg_sum)(xyz, slot)[:, :V]            # [B,V,3]
+        means = jax.vmap(seg_sum)(xyz, slot)                   # [B,V,3]
         means = means / jnp.maximum(num_points[..., None], 1).astype(dt)
         slot_c = jnp.minimum(slot, V - 1)
         f_cluster = points[..., :3] - jnp.take_along_axis(
@@ -161,11 +183,30 @@ class PillarFeatureNet(nn.Module):
         x = PFNLayer(self.num_filters[0], last_layer=True,
                      dtype=self.dtype)(x[:, :, None, :], mask, train=train)
 
-        def seg_max(xx, ss):
-            return jax.ops.segment_max(xx, ss, num_segments=V + 1,
-                                       indices_are_sorted=sorted_)
+        if use_scan:
+            # segmented running max over the sorted runs: carry resets
+            # at each run start, the run max sits at its last element
+            def seg_max(xx, ss):
+                flag = jnp.concatenate(
+                    [jnp.ones((1,), bool), ss[1:] != ss[:-1]])
 
-        pooled = jax.vmap(seg_max)(x, slot)[:, :V]             # [B,V,F]
+                def comb(a, b):
+                    av, af = a
+                    bv, bf = b
+                    return (jnp.where(bf, bv, jnp.maximum(av, bv)),
+                            af | bf)
+
+                scanned, _ = jax.lax.associative_scan(
+                    comb, (xx, flag[:, None]), axis=0)
+                ends = jnp.searchsorted(ss, jnp.arange(V), side="right")
+                return scanned[jnp.maximum(ends, 1) - 1]       # [V, F]
+        else:
+            def seg_max(xx, ss):
+                return jax.ops.segment_max(
+                    xx, ss, num_segments=V + 1,
+                    indices_are_sorted=sorted_)[:V]
+
+        pooled = jax.vmap(seg_max)(x, slot)                    # [B,V,F]
         # empty segments give -inf; ReLU'd inputs make 0 the exact
         # padded-path floor
         return jnp.where(num_points[..., None] > 0,

@@ -161,6 +161,9 @@ class VoxelNetConfig:
     compute_dtype: str = "float32"        # "bfloat16" for MXU-rate convs
     pillar_scatter_sorted: bool = False   # pillars arrive key-sorted ->
                                           # Pallas one-hot-matmul scatter
+    # flat-VFE serving: boundary-arithmetic segment mean/max instead of
+    # XLA segment ops (scatter-free; see PillarFeatureNet.segment_scan)
+    flat_segment_scan: bool = False
     sparse_use_pallas_gemm: bool = False  # sparse middle gather-GEMM via
                                           # ops/pallas/sparse_gather_gemm
     sparse_pallas_tile: int = 256         # Pallas kernel rows per tile
@@ -252,6 +255,7 @@ class VoxelNet(nn.Module):
                           voxel_size=cfg.voxel_size[:2],
                           pc_range=cfg.pc_range[:2],
                           radius=cfg.vfe_name.endswith("Radius"),
+                          segment_scan=cfg.flat_segment_scan,
                           dtype=(jnp.bfloat16
                                  if cfg.compute_dtype == "bfloat16"
                                  else jnp.float32))

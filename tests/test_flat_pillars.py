@@ -115,3 +115,49 @@ def test_flat_mode_rejects_multilayer_pfn():
                     pad.coords[None], train=False,
                     flat_points=flat.points[None],
                     flat_slot=flat.slot[None], flat_slots_sorted=True)
+
+
+def test_segment_scan_matches_segment_ops():
+    """PillarFeatureNet.segment_scan (boundary cumsum + segmented-scan
+    max, scatter-free) is numerically equivalent to the jax.ops.segment_*
+    path on sorted flat slots."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from automatic_as_built_reconstruction_tpu.models.voxelnet import (
+        VoxelNet)
+    from automatic_as_built_reconstruction_tpu.ops import voxelize_jax
+
+    cfg = _flagship_cfg(tiny=True)
+    rng = np.random.default_rng(0)
+    B, P = 2, 600
+    pts = np.concatenate([
+        rng.uniform([0, -8, -3], [16, 8, 1], (B, P, 3)),
+        rng.random((B, P, 1))], axis=-1).astype(np.float32)
+    num_valid = np.full((B,), P, np.int32)
+    r = jax.vmap(lambda p, n: voxelize_jax.voxelize_flat(
+        p, n, voxel_size=cfg.voxel_size, pc_range=cfg.pc_range,
+        grid_size=cfg.grid_size, max_points=8, max_voxels=256,
+        first_appearance=False))(pts, num_valid)
+
+    outs = {}
+    for scan in (False, True):
+        c = dataclasses.replace(cfg, flat_segment_scan=scan)
+        model = VoxelNet(cfg=c)
+        variables = model.init(
+            jax.random.key(0),
+            np.zeros((1, 16, 8, pts.shape[-1]), np.float32),
+            np.asarray(r.num_points[:1, :16]),
+            np.asarray(r.coords[:1, :16]))
+        preds = model.apply(variables, None, r.num_points, r.coords,
+                            train=False, flat_points=r.points,
+                            flat_slot=r.slot, flat_slots_sorted=True)
+        outs[scan] = preds
+    for k in outs[False]:
+        np.testing.assert_allclose(
+            np.asarray(outs[False][k], np.float32),
+            np.asarray(outs[True][k], np.float32),
+            rtol=2e-2, atol=2e-3, err_msg=k)

@@ -182,3 +182,38 @@ def probe_pfn(jax, jnp, emit):
               "ms_per_scan_cum": round(t / B * 1e3, 3),
               "ms_per_scan_delta": round((t - prev) / B * 1e3, 3)})
         prev = t
+
+    # --- scatter-free segment ops (flat_segment_scan): full flat
+    # pipeline with the boundary cumsum + segmented-scan max PFN
+    import dataclasses
+    from automatic_as_built_reconstruction_tpu.models import (
+        voxelnet as voxelnet_mod)
+    from automatic_as_built_reconstruction_tpu.core import (
+        anchors as anchors_mod)
+    cfg_scan = dataclasses.replace(cfg, flat_segment_scan=True)
+    model_scan = VoxelNet(cfg=cfg_scan)
+    fmap = (1, cfg.grid_size[1] // 2, cfg.grid_size[0] // 2)
+    agen = anchors_mod.AnchorGeneratorRange(
+        anchor_ranges=(cfg.pc_range[0], cfg.pc_range[1], -1.78,
+                       cfg.pc_range[3], cfg.pc_range[4], -1.78),
+        sizes=((1.6, 3.9, 1.56),), rotations=(0, np.pi / 2))
+    anchors = jnp.asarray(
+        agen.generate(fmap).reshape(-1, 7).astype(np.float32))
+    anchors_b = jnp.broadcast_to(anchors, (B,) + anchors.shape)
+
+    def stage_scan_full(i, pts0):
+        r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
+        preds = model_scan.apply(
+            variables, None, r.num_points, r.coords, train=False,
+            flat_points=r.points, flat_slot=r.slot,
+            flat_slots_sorted=True)
+        det = voxelnet_mod.predict(preds, anchors_b, cfg_scan)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
+    bench._progress("pfn probe: full pipeline with flat_segment_scan")
+    t = bench._loop_delta(jax, jnp, stage_scan_full, (pts,), 1, 3)
+    emit({"probe": "pfn_segment_scan_full",
+          "scans_per_sec": round(B / t, 2),
+          "ms_per_scan": round(t / B * 1e3, 3)})
