@@ -209,9 +209,11 @@ def refine_yaw_by_points(
 
     The refined pose is committed only when its tight-slab support beats
     the original pose's by more than ``keep_margin`` x (churn guard) and
-    has at least ``min_points`` inside.  Without ``recenter`` only the
-    yaw is committed.  Returns a refined copy of ``boxes`` ([N, 7]
-    x/y/z/w/l/h/yaw, z = bottom).
+    has at least ``min_points`` inside.  Without ``recenter`` the yaw
+    commit never moves the centre; ``trim_length`` may additionally
+    move the centre ALONG the element (endpoint snapping) and change
+    the length, independent of the yaw commit.  Returns a refined copy
+    of ``boxes`` ([N, 7] x/y/z/w/l/h/yaw, z = bottom).
     """
     boxes = np.array(boxes, np.float64, copy=True)
     labels = np.asarray(labels)
@@ -257,6 +259,12 @@ def refine_yaw_by_points(
                                       min_points)
                 boxes[i, 0] = cand[0]
                 boxes[i, 1] = cand[1]
+            else:
+                # contract: without recenter only the yaw is committed —
+                # drop the pass-2 wide-slab recenter from the candidate
+                # so a subsequent trim write-back can't smuggle it in
+                cand = box.copy()
+                cand[6] = boxes[i, 6]
         else:
             # yaw stays — but the length evidence below is still valid
             # for the original pose (a wall with correct yaw and wrong

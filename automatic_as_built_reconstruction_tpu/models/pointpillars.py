@@ -131,29 +131,45 @@ class PillarFeatureNet(nn.Module):
         pvalid = slot < V
 
         use_scan = self.segment_scan and sorted_
+        xyz = jnp.where(pvalid[..., None], points[..., :3], 0.0)
+        slot_c = jnp.minimum(slot, V - 1)
+        denom = jnp.maximum(num_points[..., None], 1).astype(dt)
         # per-pillar mean of the T-capped points, gathered back per point
         if use_scan:
-            # slots sorted -> each pillar is one contiguous run; the
-            # run sum is a cumsum difference at searchsorted boundaries
-            # (no scatter anywhere)
-            def seg_sum(x, s):
+            # slots sorted -> each pillar is one contiguous run; the run
+            # sum is a cumsum difference at searchsorted boundaries (no
+            # scatter anywhere).  The cumsum runs over COORDINATES MADE
+            # RELATIVE to each run's first point: prefix-sum
+            # differencing on raw coordinates (magnitudes to ~70 m x
+            # 60k points) reaches fp32 ulp ~0.06-0.25 and would corrupt
+            # the pillar means by centimetres; relative values are
+            # bounded by the pillar size, keeping the running sum small.
+            sidx = jnp.arange(V)
+            starts = jax.vmap(
+                lambda s: jnp.searchsorted(s, sidx, side="left"))(slot)
+            ends = jax.vmap(
+                lambda s: jnp.searchsorted(s, sidx, side="right"))(slot)
+            ref_pillar = jnp.take_along_axis(
+                xyz, jnp.minimum(starts, P - 1)[..., None], axis=1)
+            ref_point = jnp.take_along_axis(
+                ref_pillar, slot_c[..., None], axis=1)         # [B,P,3]
+            rel = jnp.where(pvalid[..., None], xyz - ref_point, 0.0)
+
+            def seg_sum(x, st, en):
                 cs = jnp.concatenate(
                     [jnp.zeros((1, x.shape[-1]), x.dtype),
                      jnp.cumsum(x, axis=0)], axis=0)
-                sidx = jnp.arange(V)
-                starts = jnp.searchsorted(s, sidx, side="left")
-                ends = jnp.searchsorted(s, sidx, side="right")
-                return cs[ends] - cs[starts]                   # [V, C]
+                return cs[en] - cs[st]                         # [V, C]
+
+            sums = jax.vmap(seg_sum)(rel, starts, ends)        # [B,V,3]
+            means = ref_pillar + sums / denom
         else:
             def seg_sum(x, s):
                 return jax.ops.segment_sum(
                     x, s, num_segments=V + 1,
                     indices_are_sorted=sorted_)[:V]
 
-        xyz = jnp.where(pvalid[..., None], points[..., :3], 0.0)
-        means = jax.vmap(seg_sum)(xyz, slot)                   # [B,V,3]
-        means = means / jnp.maximum(num_points[..., None], 1).astype(dt)
-        slot_c = jnp.minimum(slot, V - 1)
+            means = jax.vmap(seg_sum)(xyz, slot) / denom       # [B,V,3]
         f_cluster = points[..., :3] - jnp.take_along_axis(
             means, slot_c[..., None], axis=1)
 

@@ -82,8 +82,19 @@ def _cache_load(params: dict):
 def _cache_store(params: dict, values: dict):
     if SMOKE:
         return
+    keep = {}
+    try:
+        # preserve the pre-r5 legacy headline key until a live pillar
+        # measurement migrates it to the sidecar — without this, a run
+        # whose pillar section fails but whose FHD autotune-upgrade path
+        # rewrites the cache would destroy the only stored headline
+        old = json.loads(CACHE_PATH.read_text())
+        keep = {k: v for k, v in old.items() if k == "last_headline"}
+    except Exception:
+        pass
     CACHE_PATH.write_text(json.dumps(
-        {"params": params, **values}, indent=1, sort_keys=True) + "\n")
+        {"params": params, **keep, **values}, indent=1, sort_keys=True)
+        + "\n")
     _progress(f"autotune cache written to {CACHE_PATH.name}")
 
 
@@ -259,7 +270,9 @@ def _loop_delta(jax, jnp, body, args, r_lo: int, r_hi: int,
             float(run(R, a0, *args[1:]))
             best = min(best, time.perf_counter() - t0)
             if rep == 0 and R == r_hi and on_first is not None:
-                on_first((best - times[r_lo]) / (r_hi - r_lo))
+                dt0 = (best - times[r_lo]) / (r_hi - r_lo)
+                if dt0 > 0:   # timing noise can invert a single-rep
+                    on_first(dt0)   # delta; skip rather than emit garbage
         times[R] = best
     return (times[r_hi] - times[r_lo]) / (r_hi - r_lo)
 
@@ -383,10 +396,11 @@ def bench_pillar(jax, jnp, emit=None) -> dict:
 
     dt_flat = _loop_delta(jax, jnp, stage_full_flat, (pts,), 1, 3,
                           on_first=_first_live)
-    _mark_live()
-    if emit is not None:
-        emit(B / dt_flat, {})
-        _store_last_headline()
+    if dt_flat > 0:
+        _mark_live()
+        if emit is not None:
+            emit(B / dt_flat, {})
+            _store_last_headline()
     _progress("pillar: timing full pipeline (padded VFE)")
     dt_pad = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
     dt_full = min(dt_flat, dt_pad)

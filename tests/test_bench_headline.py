@@ -124,7 +124,12 @@ def test_no_live_no_persist(tmp_path, monkeypatch, capsys):
     assert not headline_path.exists()
 
 
-def test_cache_store_no_longer_carries_headline(tmp_path, monkeypatch):
+def test_cache_store_preserves_legacy_headline(tmp_path, monkeypatch):
+    """New last_headline records go to the sidecar, but a PRE-r5 legacy
+    key must survive cache rewrites (e.g. the autotune-upgrade path)
+    until a live pillar measurement migrates it — otherwise a run whose
+    pillar section fails destroys the only stored headline (code-review
+    r5 finding)."""
     bench, cache_path, _ = _fresh_bench(tmp_path, monkeypatch, {
         "params": {"old": 1},
         "last_headline": {"value": 9.9, "extra": {}}})
@@ -132,4 +137,4 @@ def test_cache_store_no_longer_carries_headline(tmp_path, monkeypatch):
     data = json.loads(cache_path.read_text())
     assert data["params"] == {"new": 2}
     assert data["pallas_window"] == 512
-    assert "last_headline" not in data
+    assert data["last_headline"]["value"] == 9.9

@@ -161,3 +161,36 @@ def test_segment_scan_matches_segment_ops():
             np.asarray(outs[False][k], np.float32),
             np.asarray(outs[True][k], np.float32),
             rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_segment_scan_sum_precision_at_scale():
+    """The relative-coordinate cumsum keeps per-pillar means accurate at
+    serving scale (raw-coordinate prefix-sum differencing loses ~cm at
+    P=60k; code-review r5 finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    P, V = 60000, 12000
+    slot = np.sort(rng.integers(0, V, P)).astype(np.int32)
+    xyz = np.stack([rng.uniform(0, 70, P), rng.uniform(-40, 40, P),
+                    rng.uniform(-3, 1, P)], 1).astype(np.float32)
+
+    sidx = jnp.arange(V)
+    starts = jnp.searchsorted(jnp.asarray(slot), sidx, side="left")
+    ends = jnp.searchsorted(jnp.asarray(slot), sidx, side="right")
+    ref = jnp.asarray(xyz)[jnp.minimum(starts, P - 1)]
+    rel = jnp.asarray(xyz) - ref[slot]
+    cs = jnp.concatenate([jnp.zeros((1, 3), jnp.float32),
+                          jnp.cumsum(rel, axis=0)], 0)
+    n = np.maximum(np.bincount(slot, minlength=V), 1)[:, None]
+    means = np.asarray(ref + (cs[ends] - cs[starts]) / n)
+
+    # float64 oracle
+    want = np.zeros((V, 3))
+    np.add.at(want, slot, xyz.astype(np.float64))
+    want /= n
+    occ = np.bincount(slot, minlength=V) > 0
+    err = np.abs(means[occ] - want[occ]).max()
+    assert err < 2e-3, f"pillar-mean error {err} m at P={P}"

@@ -214,9 +214,15 @@ def probe_modes(jax, jnp, tiles, dense_tail=1):
     vox0, voxelize, num_valid = s["vox0"], s["voxelize"], s["num_valid"]
     pts = jnp.asarray(s["base"])
 
-    model0 = s["VoxelNet"](cfg=s["vcfg"])
-    variables = model0.init(jax.random.key(0), vox0.voxels[:1, :64],
-                            vox0.num_points[:1, :64], vox0.coords[:1, :64])
+    # init through a TINY-caps twin: param/BN shapes depend only on
+    # channel widths, and a full-caps init is one multi-second dispatch
+    # — the profile that wedges the axon relay (see bench_second_fhd)
+    vcfg_init = dataclasses.replace(
+        vcfg, sparse_out_caps=tuple(256 for _ in s["site_caps"]),
+        sparse_pallas_window=256, sparse_use_pallas_gemm=False)
+    variables = s["VoxelNet"](cfg=vcfg_init).init(
+        jax.random.key(0), vox0.voxels[:1, :64],
+        vox0.num_points[:1, :64], vox0.coords[:1, :64])
 
     for tile in tiles:
         p = pairs[str(tile)]

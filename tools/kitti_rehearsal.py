@@ -165,9 +165,14 @@ def main():
                              if p.name.isdigit()]
             if steps_on_disk:
                 done = max(steps_on_disk)
-        milestones = sorted(int(s) for s in args.eval_at.split(",") if s)
+        # mid-run milestones only: the final eval after the loop covers
+        # m == steps (running it in the milestone loop too would double
+        # a multi-minute TPU eval)
+        milestones = sorted(int(s) for s in args.eval_at.split(",")
+                            if s and int(s) < args.steps)
         # milestone evals already done (marker files survive supervisor
-        # restarts — each milestone evaluates exactly once)
+        # restarts); several pending milestones after one chunk share
+        # ONE eval — the checkpoint is the same either way
         def _pending(step):
             return [m for m in milestones
                     if m <= step
@@ -181,12 +186,14 @@ def main():
             if rc != 0:
                 print(f"chunk exited rc={rc}; stopping")
                 return rc
-            for m in _pending(target):
-                print(f"=== milestone eval at step {m} "
+            pending = _pending(target)
+            if pending:
+                print(f"=== milestone eval at step(s) {pending} "
                       f"(ckpt {target}) ===", flush=True)
                 if run_eval(cfg_path, model_dir) == 0:
-                    (model_dir / f"eval_at_{m}.done").write_text(
-                        f"evaluated at ckpt step {target}\n")
+                    for m in pending:
+                        (model_dir / f"eval_at_{m}.done").write_text(
+                            f"evaluated at ckpt step {target}\n")
             if target == args.steps:
                 break
             upto += args.chunk

@@ -122,10 +122,6 @@ def main():
     probe_pfn(jax, jnp, emit)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_pfn(jax, jnp, emit):
     """Flat-path PFN + scatter breakdown on the flagship pillar config.
 
@@ -217,3 +213,7 @@ def probe_pfn(jax, jnp, emit):
     emit({"probe": "pfn_segment_scan_full",
           "scans_per_sec": round(B / t, 2),
           "ms_per_scan": round(t / B * 1e3, 3)})
+
+
+if __name__ == "__main__":
+    main()

@@ -37,13 +37,14 @@ def main():
         print(json.dumps({"error": "no steps_per_sec samples"}))
         return 1
     samples.sort()
-    # drop each chunk's first window (contains the chunk's compile/warm
-    # overhead): a window whose step is <= 50 past a gap or the start
+    # drop each chunk's first window (it amortizes the chunk's
+    # compile/warm overhead) — detected ONLY by the step gap, never by
+    # a low rate: a genuinely collapsed-throughput window is exactly
+    # what the decay_ratio must keep, not filter out
     steady = []
     prev_step = None
     for step, sps in samples:
-        fresh_chunk = prev_step is None or step - prev_step > 200 \
-            or (prev_step is not None and sps < 0.02)
+        fresh_chunk = prev_step is None or step - prev_step > 200
         if not fresh_chunk:
             steady.append((step, sps))
         prev_step = step
