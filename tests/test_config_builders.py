@@ -204,3 +204,19 @@ class TestSecondConfigs:
         assigner = target_assigner_builder.build(m.target_assigner, coder)
         with pytest.raises(ValueError, match="one pair per"):
             second_builder.build(m, gen, assigner)
+
+
+def test_sparse_configs_default_to_keymatch_training():
+    """r5: key-match is the default training mode for the sparse
+    configs — train() builds no host rulebooks (the behavior itself is
+    covered by test_train_runtime's keymatch no-rb test)."""
+    for rel in ("second/car/car.fhd.config", "second/all.fhd.config"):
+        cfg = builder.load_config(CONFIG_DIR / rel)
+        m = cfg.model.second
+        assert m.use_pallas_sparse_gemm, rel
+        assert m.use_keymatch_sparse_gemm, rel
+        gen = voxel_builder.build(m.voxel_generator)
+        coder = box_coder_builder.build(m.box_coder)
+        assigner = target_assigner_builder.build(m.target_assigner, coder)
+        _, vcfg, _ = second_builder.build(m, gen, assigner)
+        assert vcfg.sparse_keymatch and vcfg.sparse_use_pallas_gemm, rel
