@@ -401,22 +401,48 @@ def bench_pillar(jax, jnp, emit=None) -> dict:
         if emit is not None:
             emit(B / dt_flat, {})
             _store_last_headline()
+    # flat VFE + scatter-free segment ops (boundary cumsum / segmented
+    # scan — PillarFeatureNet.segment_scan): same params, same math
+    model_scan = VoxelNet(cfg=dataclasses.replace(
+        cfg, flat_segment_scan=True))
+
+    def stage_full_scan(i, pts0):
+        r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
+        preds = model_scan.apply(variables, None, r.num_points, r.coords,
+                                 train=False, flat_points=r.points,
+                                 flat_slot=r.slot, flat_slots_sorted=True)
+        det = voxelnet_mod.predict(preds, anchors_b, cfg)
+        return (jnp.sum(det["box3d_lidar"]
+                        * det["valid"][..., None]).astype(jnp.float32)
+                + jnp.sum(det["scores"]))
+
+    _progress("pillar: timing full pipeline (flat VFE + segment scan)")
+    dt_scan = _loop_delta(jax, jnp, stage_full_scan, (pts,), 1, 3)
+    if emit is not None:
+        emit(B / min(dt_flat, dt_scan), {
+            "pillar_flat_scans_per_sec": round(B / dt_flat, 2),
+            "pillar_segscan_scans_per_sec": round(B / dt_scan, 2)})
     _progress("pillar: timing full pipeline (padded VFE)")
     dt_pad = _loop_delta(jax, jnp, stage_full, (pts,), 1, 3)
-    dt_full = min(dt_flat, dt_pad)
+    dt_full = min(dt_flat, dt_scan, dt_pad)
     if emit is not None:
         emit(B / dt_full, {
             "pillar_flat_scans_per_sec": round(B / dt_flat, 2),
+            "pillar_segscan_scans_per_sec": round(B / dt_scan, 2),
             "pillar_padded_scans_per_sec": round(B / dt_pad, 2)})
     def stage_net_flat(i, pts0):
+        m = model_scan if dt_scan <= dt_flat else model
         r = voxelize_flat(pts0 + 0.011 * (i + 1.0), num_valid)
-        out = model.apply(variables, None, r.num_points, r.coords,
-                          train=False, flat_points=r.points,
-                          flat_slot=r.slot, flat_slots_sorted=True)
+        out = m.apply(variables, None, r.num_points, r.coords,
+                      train=False, flat_points=r.points,
+                      flat_slot=r.slot, flat_slots_sorted=True)
         return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
 
-    best_net = stage_net_flat if dt_flat <= dt_pad else stage_net
-    best_full = stage_full_flat if dt_flat <= dt_pad else stage_full
+    flat_best = min(dt_flat, dt_scan)
+    best_net = stage_net_flat if flat_best <= dt_pad else stage_net
+    best_full = (stage_full if dt_pad < flat_best
+                 else (stage_full_scan if dt_scan <= dt_flat
+                       else stage_full_flat))
     _progress("pillar: timing voxelize stage")
     dt_vox = _loop_delta(jax, jnp, stage_vox, (pts,), 2, 6)
     _progress("pillar: timing network stage")
