@@ -90,3 +90,50 @@ def test_mesh_pod_rejected(tiny_pod):
         _mesh = object()
     with pytest.raises(ValueError):
         se.export_serving(FakeMeshPod(), 1, 10)
+
+
+@pytest.fixture(scope="module")
+def sparse_km_pod():
+    """Tiny SECOND-style sparse middle in the r5 serving mode (key-match
+    + grouped taps + dense tail) — the export surface users deploy."""
+    from automatic_as_built_reconstruction_tpu.core import anchors as am
+
+    cfg = vm.VoxelNetConfig(
+        num_input_features=4, vfe_name="SimpleVoxel",
+        vfe_num_filters=(4,), middle_name="SpMiddleFHDLite",
+        grid_size=(16, 16, 8), voxel_size=(0.5, 0.5, 0.5),
+        pc_range=(0.0, -4.0, -3.0, 8.0, 4.0, 1.0),
+        middle_num_filters=(8, 8), middle_xy_strides=(2, 2),
+        rpn_layer_nums=(1,), rpn_layer_strides=(1,),
+        rpn_num_filters=(8,), rpn_upsample_strides=(1,),
+        rpn_num_upsample_filters=(8,),
+        sparse_use_pallas_gemm=True, sparse_keymatch=True,
+        sparse_keymatch_group=True, sparse_dense_tail_blocks=1,
+        sparse_pallas_window=128, sparse_out_caps=(128, 128),
+        num_class=1, num_anchor_per_loc=2, nms_pre_max_size=64,
+        nms_post_max_size=8, nms_score_threshold=0.0)
+    model = vm.VoxelNet(cfg=cfg)
+    vox = jnp.zeros((1, 32, 4, 4))
+    npts = jnp.ones((1, 32), jnp.int32)
+    crd = jnp.zeros((1, 32, 3), jnp.int32)
+    variables = model.init(jax.random.key(0), vox, npts, crd)
+    gen = am.AnchorGeneratorRange(
+        anchor_ranges=(0.0, -4.0, -1.0, 8.0, 4.0, -1.0),
+        sizes=((0.5, 1.0, 1.5),), rotations=(0.0, np.pi / 2))
+    anchors = gen.generate((1, 8, 8)).reshape(-1, 7).astype(np.float32)
+    return PodInference(model, cfg, variables, anchors,
+                        max_voxels=64, max_points_per_voxel=4)
+
+
+def test_export_reload_sparse_keymatch_group(sparse_km_pod):
+    """The r5 headline serving mode exports and reloads exactly."""
+    pts, nv = _scan(7)
+    want = sparse_km_pod(pts, nv)
+    blob = se.export_serving(sparse_km_pod, batch=2, max_points=300,
+                             platforms=("cpu",))
+    loaded = se.load_serving(blob)
+    got = loaded(pts, nv)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
