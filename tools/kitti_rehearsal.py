@@ -31,7 +31,8 @@ def make_config(data_root: str, steps: int, batch_size: int,
                 lr_max: float,
                 config_rel: str = "second/car/car.fhd.config",
                 out_caps: tuple = (), keymatch: bool = False,
-                dense_tail: int = 0) -> str:
+                dense_tail: int = 0,
+                dir_weight: float = 0.0) -> str:
     from automatic_as_built_reconstruction_tpu import builder
 
     cfg = builder.load_config(
@@ -44,6 +45,12 @@ def make_config(data_root: str, steps: int, batch_size: int,
         # AND the ~140 MB/step rulebook dispatch the TPU relay leaks
         # into host RSS (the r4c chunk OOM at step ~930).
         cfg.model.second.use_keymatch_sparse_gemm = True
+    if dir_weight:
+        # r5 finding: loss_dir sat at ln2 through step 3500 at the
+        # lineage default 0.2 while a z-profile logistic probe showed
+        # the heading signal clearly learnable (77.9%) — the head was
+        # under-weighted against the converged cls/loc losses
+        cfg.model.second.direction_loss_weight = dir_weight
     if dense_tail:
         # hybrid dense-tail (DESIGN.md sec. 16): run the last N middle
         # blocks as masked dense convs — above ~4% active-site density
@@ -122,6 +129,9 @@ def main():
     ap.add_argument("--keymatch", action="store_true",
                     help="train with use_keymatch_sparse_gemm (no host "
                          "rulebooks; see DESIGN.md sec. 13)")
+    ap.add_argument("--dir_weight", type=float, default=0.0,
+                    help="override model.second.direction_loss_weight "
+                         "(0 keeps the config value)")
     ap.add_argument("--dense_tail", type=int, default=0,
                     help="run the last N middle blocks as masked dense "
                          "convs (DESIGN.md sec. 16)")
@@ -151,7 +161,8 @@ def main():
                                         config_rel=args.config,
                                         out_caps=caps,
                                         keymatch=args.keymatch,
-                                        dense_tail=args.dense_tail))
+                                        dense_tail=args.dense_tail,
+                                        dir_weight=args.dir_weight))
         print(f"config -> {cfg_path}")
 
     if not args.eval_only:
