@@ -14,4 +14,4 @@ export MULTICLASS="--multiclass"
 # site caps measured over 40 mc train scans (measure_site_caps, safety
 # 1.15) -- the heuristic default risks the saturation fail-fast
 exec bash tools/run_rehearsal_r5.sh --config second/all.fhd.config \
-    --lr_max 0.0025 --out_caps 39424,41600,26368,25344 "$@"
+    --lr_max 0.0025 --out_caps 47232,49920,31616,30336 "$@"
