@@ -11,7 +11,9 @@ export STEPS=${STEPS:-2400}
 export CHUNK=${CHUNK:-800}
 export EVAL_AT=${EVAL_AT:-}
 export MULTICLASS="--multiclass"
-# site caps measured over 40 mc train scans (measure_site_caps, safety
-# 1.15) -- the heuristic default risks the saturation fail-fast
+# site caps measured through the REAL augmented prep (75 examples,
+# tools/measure_caps_prepped.py, safety 1.2) — raw-scan measurement
+# underestimates ~60% at block 0 once gt-db paste-in lands (the r5
+# saturation fail-fast lesson)
 exec bash tools/run_rehearsal_r5.sh --config second/all.fhd.config \
-    --lr_max 0.0025 --out_caps 47232,49920,31616,30336 "$@"
+    --lr_max 0.0025 --out_caps 52352,53888,30464,29184 "$@"
